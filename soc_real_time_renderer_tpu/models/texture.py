@@ -1,0 +1,158 @@
+"""Texture pipeline: decode -> linearize -> mip chain -> packed atlas.
+
+TPU-native replacement for the reference's per-texture Vulkan images +
+samplers (``/root/reference/src/graphics/texture.{hpp,cpp}``):
+
+* PNG/JPG decode forced to 4 channels (stb-equivalent,
+  ``texture.cpp:421-428``) via PIL; EXR via :mod:`..utils.exr`.
+* sRGB images are linearized at load (the reference picks
+  ``R8G8B8A8_SRGB`` formats so the hardware sampler linearizes,
+  ``model.cpp:52-72``); we pre-linearize into bf16 — same math, done
+  once on the host instead of per-sample.
+* Full mip chains built by successive 2x2 box reduction — the
+  host-side analog of the reference's GPU blit mip generation
+  (``texture.cpp:190-246``).
+* All material textures of a scene are packed into ONE flat
+  ``(N, 4)`` array laid out [layer][level][row][col]: a single gather
+  serves any (layer, uv, lod) triple — this is the TPU answer to
+  bindless per-material samplers.  Every texture is resampled to one
+  atlas resolution (default 1024², native for Sponza; DamagedHelmet's
+  2048² maps are minified one step).
+
+Because texture decode is host-bound, :func:`decode_images_parallel`
+fans decoding out over a thread pool, mirroring the reference's
+ThreadPool texture loading (``model.cpp:74-186``).
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+try:  # bf16 numpy dtype ships with jax
+    import ml_dtypes
+    BF16 = np.dtype(ml_dtypes.bfloat16)
+except ImportError:  # pragma: no cover
+    BF16 = np.dtype(np.float32)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Encoded bytes -> (H, W, 4) uint8 (RGBA, like stb's forced 4ch)."""
+    from PIL import Image
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+
+
+def decode_images_parallel(blobs: list[bytes], workers: int = 8
+                           ) -> list[np.ndarray]:
+    """ThreadPool fan-out decode (model.cpp:74-176 analog)."""
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(decode_image, blobs))
+
+
+def srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    """Piecewise sRGB EOTF on [0,1] floats (what SRGB formats do in HW)."""
+    return np.where(x <= 0.04045, x / 12.92,
+                    ((x + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def linear_to_srgb(x: np.ndarray) -> np.ndarray:
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x <= 0.0031308, x * 12.92,
+                    1.055 * x ** (1 / 2.4) - 0.055).astype(np.float32)
+
+
+def to_linear_float(img_u8: np.ndarray, srgb: bool) -> np.ndarray:
+    f = img_u8.astype(np.float32) / 255.0
+    if srgb:
+        rgb = srgb_to_linear(f[..., :3])
+        f = np.concatenate([rgb, f[..., 3:4]], axis=-1)  # alpha stays linear
+    return f
+
+
+def resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Separable bilinear resize of (H, W, C) float32 (host, numpy)."""
+    H, W = img.shape[:2]
+    if (H, W) == (h, w):
+        return img
+    ys = (np.arange(h) + 0.5) * H / h - 0.5
+    xs = (np.arange(w) + 0.5) * W / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, W - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    b = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return (a * (1 - fy) + b * fy).astype(np.float32)
+
+
+def build_mips(img: np.ndarray) -> list[np.ndarray]:
+    """Full mip chain by 2x2 box filter down to 1x1 (texture.cpp:190-246
+    blit-chain equivalent). img: (S, S, C) float32, S a power of two."""
+    levels = [img]
+    while levels[-1].shape[0] > 1:
+        cur = levels[-1]
+        s = cur.shape[0] // 2
+        levels.append(cur.reshape(s, 2, s, 2, -1).mean(axis=(1, 3)))
+    return levels
+
+
+@dataclass(frozen=True)
+class TextureAtlas:
+    """Packed mip atlas. All device-side data in one flat (N, 4) array.
+
+    Layout: texel (layer, level, y, x) lives at flat index
+    ``layer * layer_stride + level_offsets[level] + y * size(level) + x``.
+    """
+    flat: np.ndarray            # (num_layers * layer_stride, 4) bf16
+    size: int                   # base resolution (power of two)
+    num_layers: int
+    level_offsets: tuple        # static python ints, len = n_levels
+    layer_stride: int
+
+    @property
+    def n_levels(self):
+        return len(self.level_offsets)
+
+
+def pack_atlas(images: list[np.ndarray], size: int = 1024,
+               dtype=BF16) -> TextureAtlas:
+    """images: list of (H, W, 4) float32 (already linearized)."""
+    n_levels = int(np.log2(size)) + 1
+    level_offsets = []
+    off = 0
+    for k in range(n_levels):
+        level_offsets.append(off)
+        off += (size >> k) * (size >> k)
+    layer_stride = off
+    flat = np.zeros((max(len(images), 1) * layer_stride, 4), np.float32)
+    for i, img in enumerate(images):
+        base = resize_bilinear(img.astype(np.float32), size, size)
+        for k, lvl in enumerate(build_mips(base)):
+            s = size >> k
+            start = i * layer_stride + level_offsets[k]
+            flat[start:start + s * s] = lvl.reshape(s * s, 4)
+    return TextureAtlas(flat=flat.astype(dtype), size=size,
+                        num_layers=max(len(images), 1),
+                        level_offsets=tuple(level_offsets),
+                        layer_stride=layer_stride)
+
+
+WHITE_PNG_PIXEL = np.ones((1, 1, 4), np.float32)
+
+
+def build_scene_atlas(image_refs, size: int = 1024, workers: int = 8
+                      ) -> tuple[TextureAtlas, int]:
+    """Decode + linearize + pack all ImageRefs of a scene; appends the
+    reference's fallback white texture (assets/white.png analog,
+    model.cpp:210-214) as the LAST layer and returns its index."""
+    decoded = decode_images_parallel([r.data for r in image_refs], workers)
+    linear = [to_linear_float(img, ref.srgb)
+              for img, ref in zip(decoded, image_refs)]
+    linear.append(np.ones((size, size, 4), np.float32))  # white fallback
+    atlas = pack_atlas(linear, size=size)
+    return atlas, atlas.num_layers - 1

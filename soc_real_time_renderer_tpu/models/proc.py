@@ -1,0 +1,176 @@
+"""Procedural geometry: benchmark stand-ins and test meshes.
+
+The mounted reference is missing Sponza's geometry (.bin) — only its
+textures survive — so :func:`build_atrium` synthesizes a Sponza-scale
+colonnaded atrium (~260k tris) textured with the real Sponza JPEGs.
+Also provides simple primitives used by unit tests.
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from .gltf import ImageRef, MaterialData, ModelData, PrimitiveRange
+
+
+def _mesh_from_quads(quads, material, uv_scale=1.0):
+    """quads: list of (p0, p1, p2, p3) CCW (seen from outside)."""
+    pos, nrm, uv, idx = [], [], [], []
+    for q in quads:
+        p = np.asarray(q, np.float32)
+        n = np.cross(p[1] - p[0], p[3] - p[0])
+        ln = np.linalg.norm(n)
+        n = n / ln if ln > 0 else np.array([0, 1, 0], np.float32)
+        base = len(pos)
+        pos.extend(p)
+        nrm.extend([n] * 4)
+        e0 = np.linalg.norm(p[1] - p[0]) * uv_scale
+        e1 = np.linalg.norm(p[3] - p[0]) * uv_scale
+        uv.extend([[0, 0], [e0, 0], [e0, e1], [0, e1]])
+        idx.extend([base, base + 1, base + 2, base, base + 2, base + 3])
+    return (np.asarray(pos, np.float32), np.asarray(nrm, np.float32),
+            np.asarray(uv, np.float32), np.asarray(idx, np.uint32))
+
+
+def subdivide_quad(p0, p1, p2, p3, nx, ny):
+    """Grid-subdivide a quad into nx*ny quads (for triangle density)."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float32) for p in (p0, p1, p2, p3))
+    out = []
+    for j in range(ny):
+        for i in range(nx):
+            u0, u1 = i / nx, (i + 1) / nx
+            v0, v1 = j / ny, (j + 1) / ny
+
+            def lerp(u, v):
+                a = p0 * (1 - u) + p1 * u
+                b = p3 * (1 - u) + p2 * u
+                return a * (1 - v) + b * v
+
+            out.append((lerp(u0, v0), lerp(u1, v0), lerp(u1, v1),
+                        lerp(u0, v1)))
+    return out
+
+
+def _cylinder(center, radius, height, segments=24, vdiv=8):
+    quads = []
+    cx, cy, cz = center
+    for k in range(segments):
+        a0 = 2 * np.pi * k / segments
+        a1 = 2 * np.pi * (k + 1) / segments
+        x0, z0 = cx + radius * np.cos(a0), cz + radius * np.sin(a0)
+        x1, z1 = cx + radius * np.cos(a1), cz + radius * np.sin(a1)
+        for v in range(vdiv):
+            y0 = cy + height * v / vdiv
+            y1 = cy + height * (v + 1) / vdiv
+            quads.append(([x1, y0, z1], [x0, y0, z0], [x0, y1, z0],
+                          [x1, y1, z1]))
+    return quads
+
+
+def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
+                 seed: int = 7) -> ModelData:
+    """Sponza-scale atrium: floor, walls, two colonnade rows, ceiling
+    slabs, randomized crates.  Dimensions in the same units as Sponza
+    pre-scale (metres * 100, entity scale 0.01 like application.cpp:16).
+    """
+    rng = np.random.default_rng(seed)
+    L, W, H = 2400.0, 1200.0, 900.0      # post-scale: 24 x 12 x 9 m
+    groups = []                           # (quads, mat)
+
+    # densify so the scene hits Sponza-like triangle counts
+    floor = subdivide_quad([-L / 2, 0, -W / 2], [L / 2, 0, -W / 2],
+                           [L / 2, 0, W / 2], [-L / 2, 0, W / 2], 48, 24)
+    groups.append((floor, 0))
+    ceil_q = subdivide_quad([-L / 2, H, W / 2], [L / 2, H, W / 2],
+                            [L / 2, H, -W / 2], [-L / 2, H, -W / 2], 48, 24)
+    groups.append((ceil_q, 1))
+    walls = []
+    walls += subdivide_quad([-L / 2, 0, -W / 2], [-L / 2, 0, W / 2],
+                            [-L / 2, H, W / 2], [-L / 2, H, -W / 2], 24, 18)
+    walls += subdivide_quad([L / 2, 0, W / 2], [L / 2, 0, -W / 2],
+                            [L / 2, H, -W / 2], [L / 2, H, W / 2], 24, 18)
+    walls += subdivide_quad([-L / 2, 0, W / 2], [L / 2, 0, W / 2],
+                            [L / 2, H, W / 2], [-L / 2, H, W / 2], 48, 18)
+    walls += subdivide_quad([L / 2, 0, -W / 2], [-L / 2, 0, -W / 2],
+                            [-L / 2, H, -W / 2], [L / 2, H, -W / 2], 48, 18)
+    groups.append((walls, 2))
+
+    cols = []
+    for row_z in (-W / 4, W / 4):
+        for i in range(10):
+            x = -L / 2 + (i + 0.5) * L / 10
+            cols += _cylinder((x, 0.0, row_z), 40.0, H * 0.85,
+                              segments=48, vdiv=24)
+    groups.append((cols, 3))
+
+    crates = []
+    for _ in range(40):
+        cx = rng.uniform(-L / 2 + 150, L / 2 - 150)
+        cz = rng.uniform(-W / 2 + 150, W / 2 - 150)
+        s = rng.uniform(30, 90)
+        h = rng.uniform(40, 160)
+        for q in _box(cx, cz, s, h):
+            crates.extend(subdivide_quad(*q, 3, 3))
+    groups.append((crates, 4))
+
+    pos_l, nrm_l, uv_l, idx_l, prims = [], [], [], [], []
+    tri_mats = []
+    voff = ioff = 0
+    for quads, mat in groups:
+        p, n, u, ix = _mesh_from_quads(quads, mat, uv_scale=1 / 300.0)
+        pos_l.append(p)
+        nrm_l.append(n)
+        uv_l.append(u)
+        idx_l.append(ix + voff)
+        prims.append(PrimitiveRange(first_index=ioff, first_vertex=voff,
+                                    index_count=len(ix), vertex_count=len(p),
+                                    material_index=mat))
+        voff += len(p)
+        ioff += len(ix)
+
+    # materials from real Sponza textures when available
+    images, materials = [], []
+    tex_files = sorted(glob.glob(os.path.join(texture_dir or "", "*.jpg")))[:5] \
+        if texture_dir else []
+    for i in range(5):
+        if i < len(tex_files):
+            images.append(ImageRef(name=os.path.basename(tex_files[i]),
+                                   data=open(tex_files[i], "rb").read(),
+                                   srgb=True))
+            materials.append(MaterialData(albedo_image=i))
+        else:
+            materials.append(MaterialData())
+
+    return ModelData(
+        positions=np.concatenate(pos_l), normals=np.concatenate(nrm_l),
+        uvs=np.concatenate(uv_l),
+        tangents=np.zeros((voff, 4), np.float32),
+        indices=np.concatenate(idx_l).astype(np.uint32),
+        primitives=prims, materials=materials, images=images)
+
+
+def _box(cx, cz, s, h):
+    x0, x1, z0, z1 = cx - s, cx + s, cz - s, cz + s
+    return [
+        ([x0, 0, z1], [x1, 0, z1], [x1, h, z1], [x0, h, z1]),
+        ([x1, 0, z0], [x0, 0, z0], [x0, h, z0], [x1, h, z0]),
+        ([x0, 0, z0], [x0, 0, z1], [x0, h, z1], [x0, h, z0]),
+        ([x1, 0, z1], [x1, 0, z0], [x1, h, z0], [x1, h, z1]),
+        ([x0, h, z1], [x1, h, z1], [x1, h, z0], [x0, h, z0]),
+    ]
+
+
+def unit_quad(z: float = -1.0, size: float = 0.5) -> ModelData:
+    """Two-triangle quad facing +z viewer (tests)."""
+    s = size
+    pos = np.array([[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]],
+                   np.float32)
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    return ModelData(positions=pos, normals=nrm, uvs=uv,
+                     tangents=np.zeros((4, 4), np.float32), indices=idx,
+                     primitives=[PrimitiveRange(0, 0, 6, 4, 0)],
+                     materials=[MaterialData()], images=[])

@@ -155,16 +155,16 @@ def resolve_gbuffer(vis: VisibilityBuffer, setup: TriangleSetup,
                               1e-8)
         tangent_normal = nrm_s[:, :3] * 2.0 - 1.0
         tvec = (dpos_dx * duv_dy[:, 1:2] - dpos_dy * duv_dx[:, 1:2])
-        tvec = tvec / jnp.maximum(jnp.linalg.norm(tvec, -1, keepdims=True),
+        tvec = tvec / jnp.maximum(jnp.linalg.norm(tvec, axis=-1, keepdims=True),
                                   1e-8)
         bvec = jnp.cross(n, tvec)
-        bvec = bvec / jnp.maximum(jnp.linalg.norm(bvec, -1, keepdims=True),
+        bvec = bvec / jnp.maximum(jnp.linalg.norm(bvec, axis=-1, keepdims=True),
                                   1e-8)
         mapped = (tvec * tangent_normal[:, 0:1]
                   + bvec * tangent_normal[:, 1:2]
                   + n * tangent_normal[:, 2:3])
         mapped = mapped / jnp.maximum(
-            jnp.linalg.norm(mapped, -1, keepdims=True), 1e-8)
+            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
         has_n = mats.has_normal[mid][:, None]
         normal = mapped * has_n + n * (1.0 - has_n)
 

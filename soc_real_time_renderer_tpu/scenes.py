@@ -1,0 +1,126 @@
+"""Scene presets — the Application-constructor analog.
+
+The reference hardcodes its scene at startup
+(``/root/reference/src/application.cpp:14-28``): a Sponza entity at
+scale 0.01 plus a DamagedHelmet entity at identity.  These presets
+rebuild the same entity setups (plus the BASELINE.json benchmark
+variants) and package everything the jitted frame needs.
+
+NOTE: the mounted reference assets are missing ``Sponza.bin`` /
+``old_sponza.bin`` (geometry) — only the Sponza *textures* exist.  The
+``sponza`` preset therefore uses a procedurally generated atrium of
+comparable scale (~260k triangles, columns/arches/floors) textured with
+the real Sponza materials; see BASELINE.md.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import config as cfg_mod
+from .camera import Camera3D, camera_matrices
+from .config import RenderConfig, ShaderGlobals, SunInfo
+from .graph import frame as frame_mod
+from .models import gltf, proc
+from .models.scene_batch import SceneBatch, build_scene_batch
+from .scene.components import MeshComponent, TransformComponent
+from .scene.scene import Scene
+
+ASSETS = os.environ.get("SOC_ASSETS", "/root/reference/assets")
+
+
+@dataclass
+class BuiltScene:
+    scene: Scene
+    batch: SceneBatch
+    plan: frame_mod.FramePlan
+    camera: Camera3D
+    camera_position: np.ndarray
+    camera_target: np.ndarray
+    animate: bool = False
+
+    def frame_globals(self, frame_index: int, dt: float = 1.0 / 60.0):
+        """Per-frame host update: camera/jitter/lights/transforms —
+        Application::update + Scene::update analog."""
+        from .utils import mathutil as mu
+        pos = self.camera_position
+        if self.animate:
+            ang = 0.25 * frame_index * dt
+            c, s = np.cos(ang), np.sin(ang)
+            rel = self.camera_position - self.camera_target
+            pos = self.camera_target + np.array(
+                [c * rel[0] - s * rel[2], rel[1], s * rel[0] + c * rel[2]],
+                np.float32)
+        self.camera.view_mat = mu.look_at(pos, self.camera_target,
+                                          np.array([0., 1., 0.], np.float32))
+        cam = camera_matrices(self.camera, pos, frame_index,
+                              self.plan.config.width,
+                              self.plan.config.height)
+        cam_prev = getattr(self, "_prev_cam", cam)
+        self._prev_cam = cam
+        lights = self.scene.update(dt)
+        g = ShaderGlobals.create(
+            camera=cam, camera_prev=cam_prev, lights=lights,
+            near_clip=self.camera.near_clip, far_clip=self.camera.far_clip,
+            elapsed_time=np.float32(frame_index * dt),
+            delta_time=np.float32(dt),
+            frame_counter=np.int32(frame_index))
+        mm, nm = self.scene.transform_matrices()
+        return g, mm, nm
+
+
+def _finish(scene, models, config, camera_pos, camera_target, animate=False,
+            atlas_size=1024):
+    batch, atlas = build_scene_batch(models, atlas_size=atlas_size)
+    plan = frame_mod.FramePlan.create(config, atlas)
+    cam = Camera3D()
+    cam.resize(config.width, config.height)
+    return BuiltScene(scene=scene, batch=batch, plan=plan, camera=cam,
+                      camera_position=np.asarray(camera_pos, np.float32),
+                      camera_target=np.asarray(camera_target, np.float32),
+                      animate=animate)
+
+
+def build_helmet(config: RenderConfig) -> BuiltScene:
+    """BASELINE config 1/2: DamagedHelmet (application.cpp:22-28)."""
+    scene = Scene("helmet")
+    e = scene.create_entity("damaged helmet model")
+    e.add_component(TransformComponent())
+    mc = e.add_component(MeshComponent())
+    mc.model = gltf.load_model(
+        os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
+    return _finish(scene, [mc.model], config,
+                   camera_pos=[0.0, 0.0, 2.5], camera_target=[0, 0, 0])
+
+
+def build_sponza(config: RenderConfig) -> BuiltScene:
+    """BASELINE config 3/5 stand-in: procedural atrium with Sponza
+    textures + the DamagedHelmet, matching application.cpp:14-28's
+    two-entity layout (sponza scale 0.01 + helmet)."""
+    scene = Scene("sponza")
+    e = scene.create_entity("sponza model")
+    tc = e.add_component(TransformComponent())
+    tc.set_scale([0.01, 0.01, 0.01])
+    mc = e.add_component(MeshComponent())
+    mc.model = proc.build_atrium(
+        texture_dir=os.path.join(ASSETS, "Sponza/glTF"))
+
+    e2 = scene.create_entity("damaged helmet model")
+    e2.add_component(TransformComponent())
+    mc2 = e2.add_component(MeshComponent())
+    mc2.model = gltf.load_model(
+        os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
+    return _finish(scene, [mc.model, mc2.model], config,
+                   camera_pos=[-7.0, 1.8, 0.0], camera_target=[0, 1.5, 0])
+
+
+def build(name: str, config: RenderConfig) -> BuiltScene:
+    if name == "helmet":
+        return build_helmet(config)
+    if name == "sponza":
+        return build_sponza(config)
+    if name in ("terrain", "full"):
+        raise NotImplementedError(f"scene '{name}' lands with the terrain pass")
+    raise ValueError(name)

@@ -6,7 +6,9 @@ chain runs on the **emissive** G-buffer target — emissive -> mip0 ->
 ... -> mip3, then mip3 upsampled additively (ONE+ONE blending,
 ``bloom_upsample.inl:31-44``) back up the chain into emissive.
 
-Mip i has resolution (W >> (i+1), H >> (i+1)) (renderer.cpp:492-513).
+Mip i has resolution (W >> i, H >> i) — mip0 is FULL resolution, so the
+first "downsample" is a same-size 13-tap blur (renderer.cpp:862-881
+mip_size starts at window size; chain wiring renderer.cpp:1024-1062).
 """
 from __future__ import annotations
 
@@ -66,7 +68,7 @@ def bloom(emissive, mip_count: int = 4):
     mips = []
     cur = emissive
     for i in range(mip_count):
-        h, w = max(H >> (i + 1), 1), max(W >> (i + 1), 1)
+        h, w = max(H >> i, 1), max(W >> i, 1)
         cur = downsample_13tap(cur, h, w)
         mips.append(cur)
     # upsample: mip3 -> mip2 -> ... -> emissive, additive into each dst

@@ -1,0 +1,74 @@
+"""Multi-chip rendering: device meshes + shardings.
+
+The reference is single-GPU (SURVEY.md §2.6); the TPU-native scaling
+model is SPMD over a ``jax.sharding.Mesh``:
+
+* ``dp`` — frame/view parallelism: independent cameras (a render-farm /
+  batched-offline axis), pure data parallel;
+* ``sp`` — screen parallelism: the fine-tile axis of the rasterizer and
+  the row axis of every screen-space pass are sharded; XLA inserts the
+  halo/all-gather collectives (over ICI) where passes read neighbours.
+
+Geometry, materials and the texture atlas are replicated (they are the
+"weights"); per-frame globals are replicated; image intermediates are
+sharded on rows.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..graph import frame as frame_mod
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None):
+    """Build a (dp, sp) mesh over the available devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None:
+        dp = 2 if n % 2 == 0 and n > 1 else 1
+    sp = n // dp
+    arr = np.array(devs).reshape(dp, sp)
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def make_batched_render_fn(plan: frame_mod.FramePlan, mesh: Mesh):
+    """Batched multi-camera render step, sharded (dp over cameras, sp
+    over image rows).  This is the full multi-chip step the driver
+    dry-runs: every pass executes under SPMD partitioning.
+    """
+    def step(batch, globals_batch, history_batch, model_mats, normal_mats):
+        def one(g, hist):
+            out, h2 = frame_mod.render_frame(plan, batch, g, hist,
+                                             model_mats, normal_mats)
+            color = jax.lax.with_sharding_constraint(
+                out.color, NamedSharding(mesh, P(None, "sp", None)))
+            return color, h2
+
+        colors, new_hist = jax.vmap(one)(globals_batch, history_batch)
+        colors = jax.lax.with_sharding_constraint(
+            colors, NamedSharding(mesh, P("dp", None, "sp", None)))
+        return colors, new_hist
+
+    return jax.jit(step)
+
+
+def shard_inputs(mesh: Mesh, batch, globals_batch, history_batch):
+    """Place inputs: geometry replicated, per-camera pytrees split on dp,
+    history images split on (dp, rows)."""
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+    batch = jax.device_put(batch, repl)
+    globals_batch = jax.device_put(globals_batch, dp)
+    history_batch = jax.device_put(history_batch, dp)
+    return batch, globals_batch, history_batch
+
+
+def batched_globals(gs):
+    """Stack a list of ShaderGlobals into a batched pytree."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gs)

@@ -5,7 +5,7 @@ Replaces the reference's Daxa TaskGraph (``renderer.cpp:929-1235``) —
 ``render_frame(batch, globals, history) -> (frame, history')`` function.
 Pass order matches the reference graph (SURVEY.md §3.2):
 
-  DepthPrepass/G-buffer raster -> HiZ -> SunShadow -> Terrain ->
+  raster (visibility) -> HiZ -> SunShadow -> Terrain -> G-buffer ->
   Bloom -> SSAO(+blur) -> SSR -> Clouds -> Composition ->
   Histogram/Exposure -> TAA -> ToneMapping
 
@@ -29,14 +29,15 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig, ShaderGlobals
 from ..models.scene_batch import SceneBatch
-from ..models.texture import TextureAtlas
+from ..models.texture import PackedMaterialAtlas
 from ..ops import bloom as bloom_ops
 from ..ops import composition as comp_ops
 from ..ops import exposure as exposure_ops
 from ..ops import gbuffer as gbuf_ops
-from ..ops import raster as raster_ops
+from ..ops import raster2
 from ..ops import sampling
 from ..ops import ssao as ssao_ops
+from ..ops import ssr as ssr_ops
 from ..ops import taa as taa_ops
 from ..ops import tonemap as tonemap_ops
 
@@ -71,29 +72,27 @@ class RenderHistory:
 class FramePlan:
     """Static per-scene/per-config raster grids + atlas metadata."""
     config: RenderConfig
-    main_grid: raster_ops.RasterGrid
-    shadow_grid: raster_ops.RasterGrid
+    main_grid: raster2.BinGrid
+    shadow_grid: raster2.BinGrid
     atlas_size: int
-    atlas_level_offsets: tuple
     atlas_layer_stride: int
+    atlas_n_levels: int
+    texture_filter: str = "bilinear"
+    interpret: bool | None = None   # Pallas interpret override (tests)
 
     @staticmethod
-    def create(config: RenderConfig, atlas: TextureAtlas,
-               cap_coarse=8192, cap_fine=1024,
-               shadow_cap_coarse=8192, shadow_cap_fine=1024):
-        main = raster_ops.RasterGrid(
-            width=config.width, height=config.height,
-            coarse_px=config.coarse_tile_px,
-            fine_h=config.fine_tile_h, fine_w=config.fine_tile_w,
-            cap_coarse=cap_coarse, cap_fine=cap_fine)
-        shadow = raster_ops.RasterGrid(
-            width=config.shadow_resolution, height=config.shadow_resolution,
-            coarse_px=256, fine_h=64, fine_w=64,
-            cap_coarse=shadow_cap_coarse, cap_fine=shadow_cap_fine)
+    def create(config: RenderConfig, atlas: PackedMaterialAtlas,
+               texture_filter: str = "bilinear", scale: str = "scene",
+               interpret: bool | None = None):
+        main = raster2.default_grid(config.width, config.height, scale)
+        shadow = raster2.default_grid(config.shadow_resolution,
+                                      config.shadow_resolution, scale)
         return FramePlan(config=config, main_grid=main, shadow_grid=shadow,
                          atlas_size=atlas.size,
-                         atlas_level_offsets=atlas.level_offsets,
-                         atlas_layer_stride=atlas.layer_stride)
+                         atlas_layer_stride=atlas.layer_stride,
+                         atlas_n_levels=atlas.n_levels,
+                         texture_filter=texture_filter,
+                         interpret=interpret)
 
 
 @_pytree
@@ -108,18 +107,27 @@ class FrameOutputs:
     ssao: jax.Array | None
     clouds: jax.Array | None
     bloom: jax.Array | None
+    ssr: jax.Array | None
 
 
-def vertex_stage(batch: SceneBatch, model_mats, normal_mats, view_proj):
-    """World + clip transform for the merged scene (the per-entity
-    vertex shaders of T1/T4/T6 batched into matmuls)."""
-    mats = model_mats[batch.vertex_entity]             # (V, 4, 4)
-    world = (jnp.einsum("vij,vj->vi", mats[:, :3, :3], batch.positions)
-             + mats[:, :3, 3])
-    nmats = normal_mats[batch.vertex_entity]
-    wnrm = jnp.einsum("vij,vj->vi", nmats[:, :3, :3], batch.normals)
-    clip = world @ view_proj[:, :3].T + view_proj[:, 3]
-    return world, wnrm, clip
+def transform_triangles(batch: SceneBatch, model_mats, normal_mats):
+    """World transform of the triangle-expanded batch — gather-free:
+    entity matrices selected by one-hot matmul (E is tiny)."""
+    T = batch.num_triangles
+    E = model_mats.shape[0]
+    onehot = (batch.tri_entity[:, None]
+              == jnp.arange(E, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    mats = (onehot @ model_mats.reshape(E, 16)).reshape(T, 4, 4)
+    nmats = (onehot @ normal_mats.reshape(E, 16)).reshape(T, 4, 4)
+    world = (jnp.einsum("tij,tvj->tvi", mats[:, :3, :3], batch.tri_pos)
+             + mats[:, None, :3, 3])
+    wnrm = jnp.einsum("tij,tvj->tvi", nmats[:, :3, :3], batch.tri_nrm)
+    return world, wnrm
+
+
+def _clip_of(world, view_proj):
+    return (jnp.einsum("tvj,ij->tvi", world, view_proj[:, :3])
+            + view_proj[:, 3])
 
 
 def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
@@ -127,32 +135,30 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                  model_mats, normal_mats) -> tuple[FrameOutputs, RenderHistory]:
     """One frame. All array args are traced; `plan` is static."""
     cfg = plan.config
-    atlas_sampler = sampling.make_atlas_sampler(
-        plan.atlas_size, plan.atlas_level_offsets, plan.atlas_layer_stride)
 
-    # ---- vertex + main-view raster (T1 depth prepass + T6 G-buffer
-    # collapse into one visibility pass: with a visibility buffer the
-    # prepass IS the final depth).
-    world, wnrm, clip = vertex_stage(batch, model_mats, normal_mats,
-                                     g.camera.projection_view)
-    vis, setup = raster_ops.rasterize(clip, batch.indices, plan.main_grid,
-                                      cull="front")
+    # ---- vertex + main-view raster (T1 depth prepass + T6 visibility)
+    world, wnrm = transform_triangles(batch, model_mats, normal_mats)
+    clip = _clip_of(world, g.camera.projection_view)
+    vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
+                                   interpret=plan.interpret)
 
-    # ---- sun shadow raster (T4, sun_shadow_draw.inl: back-face cull)
+    # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
     if cfg.enable_shadows:
-        sclip = world @ g.sun.projection_view[:, :3].T + g.sun.projection_view[:, 3]
-        svis, _ = raster_ops.rasterize(sclip, batch.indices,
-                                       plan.shadow_grid, cull="back")
+        sclip = _clip_of(world, g.sun.projection_view)
+        svis, _ = raster2.rasterize(sclip, plan.shadow_grid, cull="back",
+                                    interpret=plan.interpret)
         shadow_map = svis.depth
 
     # ---- deferred G-buffer resolve (T6 fragment semantics)
+    records = gbuf_ops.build_shading_records(
+        setup, world, wnrm, batch.tri_uv, batch.static_rows)
     gbuf = gbuf_ops.resolve_gbuffer(
-        vis, setup, batch.indices, world, wnrm, batch.uvs,
-        batch.tri_material, batch.materials, batch.atlas_flat,
-        atlas_sampler, plan.atlas_size, g.camera_prev.projection_view)
+        vis, records, batch.atlas_packed, g.camera_prev.projection_view,
+        atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
+        n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter)
 
-    # ---- bloom (T14/T15) runs on the emissive target before composition
+    # ---- bloom (T14/T15) on the emissive target before composition
     emissive = gbuf.emissive
     bloom = None
     if cfg.enable_bloom:
@@ -165,7 +171,6 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         ssao_half = ssao_ops.ssao_generate(vis.depth, gbuf.normal, g,
                                            cfg.ssao_kernel_size)
         ssao = ssao_ops.ssao_blur(ssao_half)
-        # composition samples the half-res target bilinearly at full res
         H, W = vis.depth.shape
         uvx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
         uvy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
@@ -174,15 +179,42 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     else:
         ssao_full = jnp.ones_like(vis.depth)
 
-    # ---- clouds + atmosphere (T12): lands with ops/clouds.py
-    clouds = None
+    # ---- SSR (T11; computed but not composited by default, like the
+    # reference's commented-out mix)
+    ssr_img = None
+    if cfg.enable_ssr:
+        ssr_img = ssr_ops.ssr(vis.depth, gbuf.albedo, gbuf.normal,
+                              gbuf.metallic_roughness, g)
+
+    # ---- clouds + atmosphere (T12) at half res for sky pixels
+    clouds_full = None
+    clouds_half = None
+    if cfg.enable_clouds:
+        from ..ops import clouds as clouds_ops
+        hw, hh = cfg.width // 2, cfg.height // 2
+        noise = getattr(batch, "noise_tex", None)
+        if noise is None:
+            noise = _default_noise()
+        clouds_half = clouds_ops.render_clouds(g, vis.depth, noise, hw, hh)
+        H, W = vis.depth.shape
+        uvx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
+        uvy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
+        uvg = jnp.stack(jnp.meshgrid(uvx, uvy, indexing="xy"), -1)
+        clouds_full = sampling.sample_screen(clouds_half, uvg)
+        clouds_full = clouds_full.transpose(2, 0, 1)
 
     # ---- composition (T13)
     hdr = comp_ops.compose(
         g, vis.depth, gbuf.albedo, emissive, gbuf.normal, ssao_full,
-        shadow_map, clouds,
+        shadow_map, clouds_full,
         enable_volumetric=cfg.enable_volumetric_light,
         enable_shadow=cfg.enable_shadows)
+    if cfg.composite_ssr and ssr_img is not None:
+        # the mix the reference comments out (composition.inl:213-216)
+        rough = gbuf.metallic_roughness[0]
+        metal = gbuf.metallic_roughness[1]
+        wgt = (metal * (1.0 - rough))[None]
+        hdr = hdr + (ssr_img - hdr) * wgt
 
     # ---- auto exposure (T16/T17)
     if cfg.enable_auto_exposure:
@@ -209,9 +241,23 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         exposure=exposure,
     )
     outputs = FrameOutputs(color=color, hdr=hdr, gbuffer=gbuf,
-                           shadow_map=shadow_map, ssao=ssao, clouds=clouds,
-                           bloom=bloom)
+                           shadow_map=shadow_map, ssao=ssao,
+                           clouds=clouds_half, bloom=bloom, ssr=ssr_img)
     return outputs, new_history
+
+
+@functools.lru_cache(maxsize=1)
+def _default_noise():
+    """assets/Clouds/noise.png (R channel) for the cloud fBm."""
+    import numpy as np
+    try:
+        from ..models.texture import decode_image
+        data = open("/root/reference/assets/Clouds/noise.png", "rb").read()
+        img = decode_image(data)
+        return jnp.asarray(img[..., 0].astype(np.float32) / 255.0)
+    except Exception:
+        rng = np.random.default_rng(0)
+        return jnp.asarray(rng.random((128, 128), dtype=np.float32))
 
 
 def make_render_fn(plan: FramePlan):

@@ -1,15 +1,21 @@
 """Scene flattening: ECS scene -> device-resident batched arrays.
 
 The reference draws per-entity, per-primitive with push constants
-(``g_buffer_generation.inl:111-144``); the TPU build instead merges the
-whole scene into one struct-of-arrays batch (positions/normals/uvs/
-indices/material-ids/entity-ids) so a single rasterizer invocation
-covers everything, and per-entity transforms become a gathered matrix
-array — the uniform-ring-buffer replacement (``scene.cpp:55-82``).
+(``g_buffer_generation.inl:111-144``); the TPU build merges the whole
+scene into one batch so a single rasterizer invocation covers
+everything.  Per the measured cost model (PERF.md):
 
-Static leaves (geometry, atlas, material table) are ``device_put`` once;
-dynamic leaves (model/normal matrices, lights) are rebuilt each frame on
-host and passed as arguments of the jitted frame function.
+* vertex attributes are **pre-expanded per triangle** at load time
+  ((T, 3, ...) layouts) so the per-frame path has zero vertex gathers —
+  the index buffer disappears after load;
+* the four material textures are packed into ONE (16, N) uint8 atlas
+  (models/texture.pack_material_atlas) so a texture tap is one gather;
+* per-triangle static shading constants (material id + has-flags) ride
+  in a (4, T) row block concatenated into the per-frame G-buffer record
+  (ops/gbuffer.py).
+
+Giant world-space triangles are pre-split at load so the rasterizer's
+bounded bin expansion never truncates (ops/raster2.py docstring).
 """
 from __future__ import annotations
 
@@ -19,9 +25,9 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-from ..ops.gbuffer import MaterialTable
 from .gltf import ModelData
-from .texture import TextureAtlas, build_scene_atlas
+from .texture import PackedMaterialAtlas, decode_images_parallel, \
+    pack_material_atlas
 
 
 def _pytree(cls):
@@ -34,103 +40,124 @@ def _pytree(cls):
 @_pytree
 @dataclass(frozen=True)
 class SceneBatch:
-    """Merged scene geometry (static across frames)."""
-    positions: jax.Array       # (V, 3) f32 object space
-    normals: jax.Array         # (V, 3) f32 object space
-    uvs: jax.Array             # (V, 2) f32
-    tangents: jax.Array        # (V, 4) f32 (loaded; unused like the ref)
-    indices: jax.Array         # (T, 3) i32 into the merged pool
-    tri_material: jax.Array    # (T,) i32 into the merged material table
-    vertex_entity: jax.Array   # (V, ) i32 mesh-entity index
-    materials: MaterialTable
-    atlas_flat: jax.Array      # (N, 4) packed mip atlas texels
-
-    @property
-    def num_vertices(self):
-        return self.positions.shape[0]
+    """Merged triangle-expanded scene geometry (static across frames)."""
+    tri_pos: jax.Array       # (T, 3, 3) f32 object-space vertex positions
+    tri_nrm: jax.Array       # (T, 3, 3) f32 object-space vertex normals
+    tri_uv: jax.Array        # (T, 3, 2) f32
+    tri_entity: jax.Array    # (T,) i32 mesh-entity index
+    static_rows: jax.Array   # (4, T) f32: [material_id, has_normal,
+    #                           has_metallic_roughness, has_emissive]
+    atlas_packed: jax.Array  # (16, M * layer_stride) uint8
 
     @property
     def num_triangles(self):
-        return self.indices.shape[0]
+        return self.tri_pos.shape[0]
 
 
-def build_material_table(models: list[ModelData], image_offsets: list[int],
-                         white_layer: int) -> MaterialTable:
-    """Merge per-model material lists; missing slots -> white layer with
-    has=0 (model.cpp:188-247)."""
-    fields = {k: [] for k in ("albedo", "metallic_roughness", "normal",
-                              "occlusion", "emissive")}
-    has = {k: [] for k in fields}
-    for model, off in zip(models, image_offsets):
-        for m in model.materials:
-            for key, idx in (("albedo", m.albedo_image),
-                             ("metallic_roughness", m.metallic_roughness_image),
-                             ("normal", m.normal_image),
-                             ("occlusion", m.occlusion_image),
-                             ("emissive", m.emissive_image)):
-                if idx >= 0:
-                    fields[key].append(off + idx)
-                    has[key].append(1.0)
-                else:
-                    fields[key].append(white_layer)
-                    has[key].append(0.0)
+def split_large_triangles(pos, nrm, uv, ent, mat, max_extent: float,
+                          max_rounds: int = 4):
+    """Midpoint-split triangles whose bbox extent exceeds max_extent
+    (world units).  Keeps the raster bin expansion bounded."""
+    for _ in range(max_rounds):
+        ext = (pos.max(axis=1) - pos.min(axis=1)).max(axis=-1)
+        big = ext > max_extent
+        if not big.any():
+            break
+        keep = ~big
+        bp, bn, bu = pos[big], nrm[big], uv[big]
+        be, bm = ent[big], mat[big]
+        # split at longest-edge midpoint into 2 triangles
+        e0 = np.linalg.norm(bp[:, 1] - bp[:, 0], axis=-1)
+        e1 = np.linalg.norm(bp[:, 2] - bp[:, 1], axis=-1)
+        e2 = np.linalg.norm(bp[:, 0] - bp[:, 2], axis=-1)
+        longest = np.argmax(np.stack([e0, e1, e2], -1), axis=-1)
 
-    def arr(k, dt=np.int32):
-        return np.asarray(fields[k], dt)
+        def mid(a, b):
+            return (a + b) * 0.5
 
-    def harr(k):
-        return np.asarray(has[k], np.float32)
-
-    return MaterialTable(
-        albedo_layer=arr("albedo"),
-        metallic_roughness_layer=arr("metallic_roughness"),
-        normal_layer=arr("normal"),
-        occlusion_layer=arr("occlusion"),
-        emissive_layer=arr("emissive"),
-        has_albedo=harr("albedo"),
-        has_metallic_roughness=harr("metallic_roughness"),
-        has_normal=harr("normal"),
-        has_occlusion=harr("occlusion"),
-        has_emissive=harr("emissive"),
-    )
+        new_p, new_n, new_u = [], [], []
+        for arr, out in ((bp, new_p), (bn, new_n), (bu, new_u)):
+            a, b, c = arr[:, 0], arr[:, 1], arr[:, 2]
+            m01, m12, m20 = mid(a, b), mid(b, c), mid(c, a)
+            # longest==0: split edge ab -> (a,m,c), (m,b,c); etc.
+            t1 = np.where(longest[:, None, None] == 0,
+                          np.stack([a, m01, c], 1),
+                          np.where(longest[:, None, None] == 1,
+                                   np.stack([a, b, m12], 1),
+                                   np.stack([a, b, m20], 1)))
+            t2 = np.where(longest[:, None, None] == 0,
+                          np.stack([m01, b, c], 1),
+                          np.where(longest[:, None, None] == 1,
+                                   np.stack([a, m12, c], 1),
+                                   np.stack([m20, b, c], 1)))
+            out.append(np.concatenate([t1, t2]))
+        pos = np.concatenate([pos[keep], new_p[0]])
+        nrm = np.concatenate([nrm[keep], new_n[0]])
+        uv = np.concatenate([uv[keep], new_u[0]])
+        ent = np.concatenate([ent[keep], np.tile(be, 2)])
+        mat = np.concatenate([mat[keep], np.tile(bm, 2)])
+    return pos, nrm, uv, ent, mat
 
 
 def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
-                      workers: int = 8) -> tuple[SceneBatch, TextureAtlas]:
+                      workers: int = 8, split_extent_frac: float = 0.125
+                      ) -> tuple[SceneBatch, PackedMaterialAtlas]:
     """models[i] belongs to mesh-entity i (creation order)."""
-    image_refs, image_offsets, material_offsets = [], [], []
-    nmat = 0
+    all_materials, all_images, mat_offsets = [], [], []
     for m in models:
-        image_offsets.append(len(image_refs))
-        image_refs.extend(m.images)
-        material_offsets.append(nmat)
-        nmat += len(m.materials)
+        mat_offsets.append(len(all_materials))
+        img_off = len(all_images)
+        all_images.extend(m.images)
+        for md in m.materials:
+            md2 = dataclasses.replace(
+                md,
+                albedo_image=md.albedo_image + img_off if md.albedo_image >= 0 else -1,
+                metallic_roughness_image=md.metallic_roughness_image + img_off
+                if md.metallic_roughness_image >= 0 else -1,
+                normal_image=md.normal_image + img_off if md.normal_image >= 0 else -1,
+                occlusion_image=md.occlusion_image + img_off if md.occlusion_image >= 0 else -1,
+                emissive_image=md.emissive_image + img_off if md.emissive_image >= 0 else -1,
+            )
+            all_materials.append(md2)
 
-    atlas, white_layer = build_scene_atlas(image_refs, size=atlas_size,
-                                           workers=workers)
-    table = build_material_table(models, image_offsets, white_layer)
+    decoded = decode_images_parallel([r.data for r in all_images], workers)
+    atlas = pack_material_atlas(all_materials, decoded, size=atlas_size,
+                                workers=workers)
 
-    pos, nrm, uv, tan, idx, tmat, vent = [], [], [], [], [], [], []
-    voff = 0
-    for ei, (m, moff) in enumerate(zip(models, material_offsets)):
-        pos.append(m.positions)
-        nrm.append(m.normals)
-        uv.append(m.uvs)
-        tan.append(m.tangents)
-        idx.append(m.triangles.astype(np.int64) + voff)
-        tmat.append(m.tri_material + moff)
-        vent.append(np.full(len(m.positions), ei, np.int32))
-        voff += len(m.positions)
+    pos_l, nrm_l, uv_l, ent_l, mat_l = [], [], [], [], []
+    for ei, (m, moff) in enumerate(zip(models, mat_offsets)):
+        tris = m.triangles.astype(np.int64)
+        pos_l.append(m.positions[tris])
+        nrm_l.append(m.normals[tris])
+        uv_l.append(m.uvs[tris])
+        ent_l.append(np.full(len(tris), ei, np.int32))
+        mat_l.append(m.tri_material.astype(np.int32) + moff)
+
+    pos = np.concatenate(pos_l).astype(np.float32)
+    nrm = np.concatenate(nrm_l).astype(np.float32)
+    uv = np.concatenate(uv_l).astype(np.float32)
+    ent = np.concatenate(ent_l)
+    mat = np.concatenate(mat_l)
+
+    if split_extent_frac:
+        scene_ext = float((pos.reshape(-1, 3).max(0)
+                           - pos.reshape(-1, 3).min(0)).max())
+        pos, nrm, uv, ent, mat = split_large_triangles(
+            pos, nrm, uv, ent, mat, scene_ext * split_extent_frac)
+
+    has = np.stack([
+        mat.astype(np.float32),
+        np.array([1.0 if all_materials[i].normal_image >= 0 else 0.0
+                  for i in mat], np.float32),
+        np.array([1.0 if all_materials[i].metallic_roughness_image >= 0
+                  else 0.0 for i in mat], np.float32),
+        np.array([1.0 if all_materials[i].emissive_image >= 0 else 0.0
+                  for i in mat], np.float32),
+    ], axis=0)
 
     batch = SceneBatch(
-        positions=np.concatenate(pos).astype(np.float32),
-        normals=np.concatenate(nrm).astype(np.float32),
-        uvs=np.concatenate(uv).astype(np.float32),
-        tangents=np.concatenate(tan).astype(np.float32),
-        indices=np.concatenate(idx).astype(np.int32),
-        tri_material=np.concatenate(tmat).astype(np.int32),
-        vertex_entity=np.concatenate(vent).astype(np.int32),
-        materials=table,
-        atlas_flat=atlas.flat,
+        tri_pos=pos, tri_nrm=nrm, tri_uv=uv,
+        tri_entity=ent, static_rows=has,
+        atlas_packed=atlas.packed,
     )
     return batch, atlas

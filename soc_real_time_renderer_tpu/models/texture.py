@@ -145,6 +145,85 @@ def pack_atlas(images: list[np.ndarray], size: int = 1024,
 WHITE_PNG_PIXEL = np.ones((1, 1, 4), np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Packed per-material atlas (the production path — see PERF.md: one
+# gather per tap fetches ALL four material textures)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PackedMaterialAtlas:
+    """(16, N) uint8: rows 0-3 albedo RGBA (sRGB-encoded), 4-7 normal,
+    8-11 metallic-roughness, 12-15 emissive (sRGB-encoded).  Each
+    material owns one mip-packed texel space of ``layer_stride`` texels;
+    texel (mid, level, y, x) is at
+    ``mid * layer_stride + level_off(level) + y * (S >> level) + x``
+    with the arithmetic level offset
+    ``level_off(l) = (4 S² − 4 (S >> l)²) / 3``.
+    """
+    packed: np.ndarray          # (16, M * layer_stride) uint8
+    size: int
+    num_materials: int
+    layer_stride: int
+    n_levels: int
+
+
+def _mip_stack_u8(img_f32, size):
+    """(H, W, 4) float [0,1] -> flat (layer_stride, 4) u8 of all mips."""
+    base = resize_bilinear(img_f32, size, size)
+    rows = []
+    for lvl in build_mips(base):
+        rows.append(lvl.reshape(-1, 4))
+    flat = np.concatenate(rows, axis=0)
+    return (np.clip(flat, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def pack_material_atlas(materials, images_u8, size: int = 1024,
+                        workers: int = 8) -> PackedMaterialAtlas:
+    """materials: list of gltf.MaterialData; images_u8: list of decoded
+    (H, W, 4) uint8 (raw, sRGB-encoded where applicable).
+
+    Albedo/emissive are stored sRGB-encoded and decoded AFTER filtering
+    (a small, standard deviation from filtering-in-linear; the u8 atlas
+    halves memory and keeps dark-tone precision).
+    """
+    n_levels = int(np.log2(size)) + 1
+    layer_stride = sum((size >> k) * (size >> k) for k in range(n_levels))
+    M = max(len(materials), 1)
+    packed = np.zeros((16, M * layer_stride), np.uint8)
+
+    flat_white = np.full((layer_stride, 4), 255, np.uint8)
+    flat_normal = np.tile(np.array([128, 128, 255, 255], np.uint8),
+                          (layer_stride, 1))
+    flat_zero = np.zeros((layer_stride, 4), np.uint8)
+
+    def mips_of(img_idx, fallback):
+        if img_idx < 0 or img_idx >= len(images_u8):
+            return fallback
+        return _mip_stack_u8(images_u8[img_idx].astype(np.float32) / 255.0,
+                             size)
+
+    import concurrent.futures
+
+    def build_one(mi_m):
+        mi, m = mi_m
+        s = mi * layer_stride
+        packed[0:4, s:s + layer_stride] = mips_of(m.albedo_image,
+                                                  flat_white).T
+        packed[4:8, s:s + layer_stride] = mips_of(m.normal_image,
+                                                  flat_normal).T
+        packed[8:12, s:s + layer_stride] = mips_of(
+            m.metallic_roughness_image, flat_zero).T
+        packed[12:16, s:s + layer_stride] = mips_of(m.emissive_image,
+                                                    flat_zero).T
+
+    with concurrent.futures.ThreadPoolExecutor(workers) as ex:
+        list(ex.map(build_one, enumerate(materials)))
+
+    return PackedMaterialAtlas(packed=packed, size=size, num_materials=M,
+                               layer_stride=layer_stride, n_levels=n_levels)
+
+
 def build_scene_atlas(image_refs, size: int = 1024, workers: int = 8
                       ) -> tuple[TextureAtlas, int]:
     """Decode + linearize + pack all ImageRefs of a scene; appends the

@@ -2,25 +2,23 @@
 
 Implements the fragment-shader half of the reference's G-buffer pass
 (``/root/reference/src/graphics/tasks/g_buffer_generation.inl:152-233``)
-as a deferred full-screen op: the rasterizer only produced (depth,
-triangle id); here each pixel gathers its winning triangle's attributes
-and shades them.  Matches the reference semantics:
+as a deferred full-screen op over the visibility buffer, built for the
+measured TPU cost model (PERF.md): each pixel performs exactly ONE fat
+record gather (everything its triangle carries) plus 1/4/8 packed
+texture-tap gathers depending on the filter mode.
+
+Reference semantics preserved:
 
 * perspective-correct interpolation of uv/normal/world position;
-* albedo = albedo_tex.rgb **+ emissive** (``:194``), emissive separate
-  (``:191-192``);
-* normal mapping with TBN built from position/uv derivatives
-  (``:198-213``) — we use exact analytic per-triangle derivatives
-  instead of the hardware's 2x2-quad finite differences;
-* metallic-roughness from the texture's G/B channels stored as R=rough,
-  G=metal (``:219-224``);
-* velocity = current NDC uv - previous NDC uv, previous from the
-  *previous camera* but the *current* model transform (``:226-229`` —
-  the reference has no per-entity previous transforms);
+* albedo = albedo_tex.rgb **+ emissive** (``:194``), emissive separate;
+* normal mapping with TBN from position/uv derivatives (``:198-213``)
+  — exact analytic per-triangle derivatives instead of 2x2-quad
+  finite differences;
+* metallic-roughness from texture G/B stored as R=rough, G=metal
+  (``:219-224``);
+* velocity = current NDC uv - previous NDC uv, previous camera x
+  current transform (``:226-229``);
 * sky clear colour (0.2, 0.4, 1.0) on no-hit pixels (``:80``).
-
-Mip LOD for material fetches comes from the analytic uv derivatives
-(replacing the hardware sampler's implicit LOD).
 """
 from __future__ import annotations
 
@@ -44,25 +42,6 @@ def _pytree(cls):
 
 @_pytree
 @dataclass(frozen=True)
-class MaterialTable:
-    """SoA material array (shared.inl:158-170 Material[] analog).
-
-    Layer indices point into the scene atlas; missing slots point at the
-    white fallback layer with has_* = 0 (model.cpp:188-247)."""
-    albedo_layer: jax.Array            # (M,) int32
-    metallic_roughness_layer: jax.Array
-    normal_layer: jax.Array
-    occlusion_layer: jax.Array
-    emissive_layer: jax.Array
-    has_albedo: jax.Array              # (M,) float32 0/1
-    has_metallic_roughness: jax.Array
-    has_normal: jax.Array
-    has_occlusion: jax.Array
-    has_emissive: jax.Array
-
-
-@_pytree
-@dataclass(frozen=True)
 class GBuffer:
     """The reference's 5 MRT targets (renderer.cpp:348-470), planar."""
     albedo: jax.Array               # (3, H, W)
@@ -73,134 +52,185 @@ class GBuffer:
     depth: jax.Array                # (H, W)
 
 
-def _interp_with_derivs(e, de_dx, de_dy, attr):
-    """Perspective-correct interpolation N/D with analytic x/y derivatives.
+def build_shading_records(setup: TriangleSetup, world_pos, world_nrm,
+                          tri_uv, static_rows):
+    """(40, T+1) per-triangle shading records (one gather per pixel).
 
-    e: (P, 3) edge values; de_dx/de_dy: (P, 3); attr: (P, 3, A).
-    Returns (value (P, A), d/dx (P, A), d/dy (P, A)).
+    rows: [adj 9 | wpos 9 | wnrm 9 | uv 6 | material_id, has_normal,
+    has_mr, has_emissive | 3 pad].  Column T = sentinel.
     """
-    D = jnp.sum(e, -1, keepdims=True)                       # (P, 1)
-    Dx = jnp.sum(de_dx, -1, keepdims=True)
-    Dy = jnp.sum(de_dy, -1, keepdims=True)
-    N = jnp.einsum("pv,pva->pa", e, attr)
-    Nx = jnp.einsum("pv,pva->pa", de_dx, attr)
-    Ny = jnp.einsum("pv,pva->pa", de_dy, attr)
-    invD = 1.0 / jnp.where(D != 0, D, 1.0)
-    val = N * invD
-    ddx = (Nx - val * Dx) * invD
-    ddy = (Ny - val * Dy) * invD
-    return val, ddx, ddy
+    T = setup.coeffs.shape[0]
+    rec = jnp.concatenate([
+        setup.coeffs.reshape(T, 9).T,
+        world_pos.reshape(T, 9).T,
+        world_nrm.reshape(T, 9).T,
+        tri_uv.reshape(T, 6).T,
+        static_rows,
+        jnp.zeros((3, T), jnp.float32),
+    ], axis=0)
+    return jnp.concatenate([rec, jnp.zeros((40, 1), jnp.float32)], axis=1)
 
 
-def resolve_gbuffer(vis: VisibilityBuffer, setup: TriangleSetup,
-                    indices, world_pos, world_nrm, uvs, tri_material,
-                    mats: MaterialTable, atlas_flat, atlas_sampler,
-                    atlas_size: int, prev_view_proj,
-                    row_block: int = 64) -> GBuffer:
-    """Shade the visibility buffer into the 5-target G-buffer.
+def _srgb_to_linear(x):
+    return jnp.where(x <= 0.04045, x / 12.92,
+                     ((x + 0.055) / 1.055) ** 2.4)
 
-    indices: (T, 3) int32; world_pos/world_nrm: (V, 3); uvs: (V, 2);
-    tri_material: (T,) int32; prev_view_proj: (4, 4).
+
+def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
+                        layer_stride: int, n_levels: int,
+                        filter_mode: str = "bilinear"):
+    """Sample all 4 material textures at once from the packed atlas.
+
+    atlas: (16, N) uint8; mid: (P,) int32; uv: (P, 2); lod: (P,).
+    Returns (P, 16) float32 in [0, 1] (rows as pack_material_atlas).
+    level_off(l) = (4S² - 4(S>>l)²)/3 — arithmetic, no table gathers.
     """
+    uvw = uv - jnp.floor(uv)
+    base_m = mid * layer_stride
+
+    def level_fetch(l, bilinear):
+        s = jnp.right_shift(jnp.int32(size), l)
+        off = (4 * size * size - 4 * s * s) // 3
+        x = uvw[:, 0] * s.astype(jnp.float32) - 0.5
+        y = uvw[:, 1] * s.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def tap(xi, yi):
+            xw = jnp.remainder(xi, s)
+            yw = jnp.remainder(yi, s)
+            idx = base_m + off + yw * s + xw
+            return atlas[:, idx].T.astype(jnp.float32) / 255.0  # (P, 16)
+
+        if not bilinear:
+            return tap(jnp.round(x).astype(jnp.int32),
+                       jnp.round(y).astype(jnp.int32))
+        c00 = tap(x0i, y0i)
+        c10 = tap(x0i + 1, y0i)
+        c01 = tap(x0i, y0i + 1)
+        c11 = tap(x0i + 1, y0i + 1)
+        return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+                + (c01 * (1 - fx) + c11 * fx) * fy)
+
+    lod = jnp.clip(lod, 0.0, float(n_levels - 1))
+    if filter_mode == "nearest":
+        return level_fetch(jnp.round(lod).astype(jnp.int32), bilinear=False)
+    if filter_mode == "bilinear":
+        return level_fetch(jnp.round(lod).astype(jnp.int32), bilinear=True)
+    # trilinear
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    f = (lod - l0.astype(jnp.float32))[:, None]
+    return level_fetch(l0, True) * (1 - f) + level_fetch(l1, True) * f
+
+
+def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
+                    prev_view_proj, *, atlas_size: int, layer_stride: int,
+                    n_levels: int, filter_mode: str = "bilinear") -> GBuffer:
+    """Shade the visibility buffer into the 5-target G-buffer."""
     H, W = vis.depth.shape
-    assert H % row_block == 0, (H, row_block)
+    T = shading_records.shape[1] - 1
 
-    def shade_rows(args):
-        tri_rows, y0 = args                      # (R, W) int32, () int32
-        R = tri_rows.shape[0]
-        tri = tri_rows.reshape(-1)               # (P,)
-        miss = tri < 0
-        t = jnp.maximum(tri, 0)
+    tri = vis.tri_id.reshape(-1)
+    miss = tri < 0
+    t = jnp.where(miss, T, tri)
 
-        px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
-        py = (jnp.arange(R, dtype=jnp.float32)[:, None]
-              + y0.astype(jnp.float32) + 0.5)
-        px = jnp.broadcast_to(px, (R, W)).reshape(-1)
-        py = jnp.broadcast_to(py, (R, W)).reshape(-1)
+    rec = shading_records[:, t]                       # (40, P)
 
-        c = setup.coeffs[t]                      # (P, 3, 3)
-        e = c[..., 0] * px[:, None] + c[..., 1] * py[:, None] + c[..., 2]
-        de_dx = c[..., 0]
-        de_dy = c[..., 1]
+    px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
+    py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
+    px = jnp.broadcast_to(px, (H, W)).reshape(-1)
+    py = jnp.broadcast_to(py, (H, W)).reshape(-1)
 
-        vid = indices[t]                         # (P, 3)
-        attr = jnp.concatenate([world_pos[vid], world_nrm[vid], uvs[vid]],
-                               axis=-1)          # (P, 3, 8)
-        val, ddx, ddy = _interp_with_derivs(e, de_dx, de_dy, attr)
-        pos, nrm, uv = val[:, 0:3], val[:, 3:6], val[:, 6:8]
-        dpos_dx, duv_dx = ddx[:, 0:3], ddx[:, 6:8]
-        dpos_dy, duv_dy = ddy[:, 0:3], ddy[:, 6:8]
+    # edge values + derivatives (de/dx = adj col 0, de/dy = col 1)
+    e = jnp.stack([rec[0] * px + rec[1] * py + rec[2],
+                   rec[3] * px + rec[4] * py + rec[5],
+                   rec[6] * px + rec[7] * py + rec[8]], axis=0)  # (3, P)
+    ex = jnp.stack([rec[0], rec[3], rec[6]], axis=0)
+    ey = jnp.stack([rec[1], rec[4], rec[7]], axis=0)
+    D = jnp.sum(e, 0)
+    Dx = jnp.sum(ex, 0)
+    Dy = jnp.sum(ey, 0)
+    invD = 1.0 / jnp.where(D != 0, D, 1.0)
 
-        # --- material fetches
-        mid = tri_material[t]
-        lod_sq = jnp.maximum(jnp.sum(duv_dx ** 2, -1),
-                             jnp.sum(duv_dy ** 2, -1)) * (atlas_size ** 2)
-        lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
+    def interp(rows):  # rows: (3, P) per-vertex attr -> value + d/dx,d/dy
+        N = jnp.sum(e * rows, 0)
+        Nx = jnp.sum(ex * rows, 0)
+        Ny = jnp.sum(ey * rows, 0)
+        val = N * invD
+        return val, (Nx - val * Dx) * invD, (Ny - val * Dy) * invD
 
-        albedo_s = atlas_sampler(atlas_flat, mats.albedo_layer[mid], uv, lod)
-        emissive_s = atlas_sampler(atlas_flat, mats.emissive_layer[mid], uv,
-                                   lod)
-        mr_s = atlas_sampler(atlas_flat, mats.metallic_roughness_layer[mid],
-                             uv, lod)
-        nrm_s = atlas_sampler(atlas_flat, mats.normal_layer[mid], uv, lod)
+    wpos = rec[9:18].reshape(3, 3, -1)    # (vertex, xyz, P)
+    wnrm = rec[18:27].reshape(3, 3, -1)
+    uvs = rec[27:33].reshape(3, 2, -1)
 
-        emissive = emissive_s[:, :3] * mats.has_emissive[mid][:, None]
-        albedo = albedo_s[:, :3] + emissive      # inl:194
-        # glTF: G=roughness, B=metallic -> stored as (R=rough, G=metal)
-        mr = jnp.stack([mr_s[:, 1], mr_s[:, 2]], -1)
-        mr = mr * mats.has_metallic_roughness[mid][:, None]
+    pos = jnp.stack([interp(wpos[:, c])[0] for c in range(3)], -1)  # (P,3)
+    pos_dx = jnp.stack([interp(wpos[:, c])[1] for c in range(3)], -1)
+    pos_dy = jnp.stack([interp(wpos[:, c])[2] for c in range(3)], -1)
+    nrm = jnp.stack([interp(wnrm[:, c])[0] for c in range(3)], -1)
+    uv_v, uv_dx, uv_dy = zip(*(interp(uvs[:, c]) for c in range(2)))
+    uv = jnp.stack(uv_v, -1)
+    duv_dx = jnp.stack(uv_dx, -1)
+    duv_dy = jnp.stack(uv_dy, -1)
 
-        # --- normal mapping (inl:198-213)
-        n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+    mid = rec[33].astype(jnp.int32)
+    has_n = rec[34][:, None]
+    has_mr = rec[35][:, None]
+    has_e = rec[36][:, None]
+
+    lod_sq = jnp.maximum(jnp.sum(duv_dx ** 2, -1),
+                         jnp.sum(duv_dy ** 2, -1)) * (atlas_size ** 2)
+    lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
+
+    tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
+                              layer_stride=layer_stride, n_levels=n_levels,
+                              filter_mode=filter_mode)     # (P, 16)
+    albedo_t = _srgb_to_linear(tex[:, 0:3])
+    normal_t = tex[:, 4:7]
+    mr_t = tex[:, 8:12]
+    emissive_t = _srgb_to_linear(tex[:, 12:15])
+
+    emissive = emissive_t * has_e
+    albedo = albedo_t + emissive                       # inl:194
+    mr = jnp.stack([mr_t[:, 1], mr_t[:, 2]], -1) * has_mr
+
+    # normal mapping (inl:198-213)
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+    tn = normal_t * 2.0 - 1.0
+    tvec = pos_dx * duv_dy[:, 1:2] - pos_dy * duv_dx[:, 1:2]
+    tvec = tvec / jnp.maximum(jnp.linalg.norm(tvec, axis=-1, keepdims=True),
                               1e-8)
-        tangent_normal = nrm_s[:, :3] * 2.0 - 1.0
-        tvec = (dpos_dx * duv_dy[:, 1:2] - dpos_dy * duv_dx[:, 1:2])
-        tvec = tvec / jnp.maximum(jnp.linalg.norm(tvec, axis=-1, keepdims=True),
-                                  1e-8)
-        bvec = jnp.cross(n, tvec)
-        bvec = bvec / jnp.maximum(jnp.linalg.norm(bvec, axis=-1, keepdims=True),
-                                  1e-8)
-        mapped = (tvec * tangent_normal[:, 0:1]
-                  + bvec * tangent_normal[:, 1:2]
-                  + n * tangent_normal[:, 2:3])
-        mapped = mapped / jnp.maximum(
-            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
-        has_n = mats.has_normal[mid][:, None]
-        normal = mapped * has_n + n * (1.0 - has_n)
+    bvec = jnp.cross(n, tvec)
+    bvec = bvec / jnp.maximum(jnp.linalg.norm(bvec, axis=-1, keepdims=True),
+                              1e-8)
+    mapped = tvec * tn[:, 0:1] + bvec * tn[:, 1:2] + n * tn[:, 2:3]
+    mapped = mapped / jnp.maximum(
+        jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
+    normal = mapped * has_n + n * (1.0 - has_n)
 
-        # --- velocity (inl:226-229): current uv is the pixel centre by
-        # construction; previous reprojects interpolated world position.
-        cur_uv = jnp.stack([px / W, py / H], -1)
-        pc = pos @ prev_view_proj[:3, :3].T + prev_view_proj[:3, 3]
-        pw = pos @ prev_view_proj[3, :3].T + prev_view_proj[3, 3]
-        prev_ndc = pc[:, :2] / jnp.where(pw[:, None] != 0, pw[:, None], 1.0)
-        prev_uv = prev_ndc * 0.5 + 0.5
-        velocity = cur_uv - prev_uv
+    # velocity (inl:226-229)
+    cur_uv = jnp.stack([px / W, py / H], -1)
+    pc = pos @ prev_view_proj[:3, :3].T + prev_view_proj[:3, 3]
+    pw = pos @ prev_view_proj[3, :3].T + prev_view_proj[3, 3]
+    prev_ndc = pc[:, :2] / jnp.where(pw[:, None] != 0, pw[:, None], 1.0)
+    prev_uv = prev_ndc * 0.5 + 0.5
+    velocity = cur_uv - prev_uv
 
-        # --- no-hit clears
-        sky = jnp.array(SKY_CLEAR, jnp.float32)
-        albedo = jnp.where(miss[:, None], sky, albedo)
-        emissive = jnp.where(miss[:, None], 0.0, emissive)
-        normal = jnp.where(miss[:, None], 0.0, normal)
-        mr = jnp.where(miss[:, None], 0.0, mr)
-        velocity = jnp.where(miss[:, None], 0.0, velocity)
+    sky = jnp.array(SKY_CLEAR, jnp.float32)
+    albedo = jnp.where(miss[:, None], sky, albedo)
+    emissive = jnp.where(miss[:, None], 0.0, emissive)
+    normal = jnp.where(miss[:, None], 0.0, normal)
+    mr = jnp.where(miss[:, None], 0.0, mr)
+    velocity = jnp.where(miss[:, None], 0.0, velocity)
 
-        def plane(x, ch):
-            return x.reshape(R, W, ch).transpose(2, 0, 1)
+    def plane(x, ch):
+        return x.T.reshape(ch, H, W)
 
-        return (plane(albedo, 3), plane(emissive, 3), plane(normal, 3),
-                plane(mr, 2), plane(velocity, 2))
-
-    n_blocks = H // row_block
-    tri_blocks = vis.tri_id.reshape(n_blocks, row_block, W)
-    y0s = jnp.arange(n_blocks, dtype=jnp.int32) * row_block
-    alb, emi, nor, mr, vel = jax.lax.map(shade_rows, (tri_blocks, y0s),
-                                         batch_size=1)
-
-    def merge(x):
-        # (B, C, R, W) -> (C, H, W)
-        return x.transpose(1, 0, 2, 3).reshape(x.shape[1], H, W)
-
-    return GBuffer(albedo=merge(alb), emissive=merge(emi), normal=merge(nor),
-                   metallic_roughness=merge(mr), velocity=merge(vel),
-                   depth=vis.depth)
+    return GBuffer(albedo=plane(albedo, 3), emissive=plane(emissive, 3),
+                   normal=plane(normal, 3),
+                   metallic_roughness=plane(mr, 2),
+                   velocity=plane(velocity, 2), depth=vis.depth)

@@ -139,11 +139,13 @@ def triangle_setup(clip, indices, width, height, cull: str = "front"
                    ) -> TriangleSetup:
     """Build per-triangle edge/depth functionals from clip coordinates.
 
-    clip: (V, 4) camera clip-space positions; indices: (T, 3) int32.
+    clip: (V, 4) camera clip-space positions; indices: (T, 3) int32 —
+    OR clip already expanded to (T, 3, 4) with indices=None (the
+    gather-free load-time-expanded layout, see PERF.md).
     cull: 'front' keeps faces the reference's FRONT_BIT culling keeps
     (i.e. glTF-visible faces), 'back' the opposite, 'none' keeps both.
     """
-    v = clip[indices]                                  # (T, 3, 4)
+    v = clip if indices is None else clip[indices]     # (T, 3, 4)
     w = v[..., 3]                                      # (T, 3)
     # Screen-homogeneous coords: at w>0, X/W = pixel x.
     X = (v[..., 0] * 0.5 + 0.5 * w) * width

@@ -1,0 +1,286 @@
+"""TPU-native rasterizer v2: sort-binned pair streams + Pallas resolve.
+
+Replaces the reference's hardware raster passes (depth prepass
+``depth_prepass.inl``, shadow ``sun_shadow_draw.inl``, G-buffer
+``g_buffer_generation.inl`` — the latter's fragment work lives in
+ops/gbuffer.py) with a design built around the measured TPU cost model
+(PERF.md):
+
+1. **Setup** (XLA, ops/raster.triangle_setup): homogeneous adjugate
+   coverage — no clipping, static shapes.
+2. **Binning** (XLA): each triangle emits (bin, tri) pairs for the
+   screen bins its bbox covers — 4 inline slots for the common case and
+   a compacted "medium" expansion for larger triangles — then ONE
+   `lax.sort` by bin id groups pairs into per-bin contiguous ranges
+   (`searchsorted` boundaries).  No atomics, no per-bin caps, no
+   cumsum/searchsorted compaction.
+3. **Record gather** (XLA): one minor-axis gather packs each sorted
+   pair's full resolve record into a (16, PAIR_CAP) stream:
+   rows = [adjugate 3x3 | z0..z2 | w0..w2 | tri_id bits].
+4. **Resolve** (Pallas): grid over bin groups; each bin DMAs its record
+   chunks from HBM at its dynamic offset and evaluates
+   (pixels × triangles) coverage/depth on the VPU, carrying per-pixel
+   (min z, winner id).  Per-bin triangle counts come from scalar-
+   prefetched offsets, so work is proportional to actual pairs.
+
+Very large triangles (bbox covering more than ``med_slots`` bins) are
+truncated to their first ``med_slots`` bins — scenes should pre-split
+giant world-space triangles (models/proc.py does; glTF content rarely
+needs it).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import TriangleSetup, VisibilityBuffer, triangle_setup
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclass(frozen=True)
+class BinGrid:
+    """Static binning configuration for one render-target size."""
+    width: int
+    height: int
+    bin_size: int = 32          # square bins, pixels
+    group: int = 4              # bins per Pallas out-block (group*bin = lanes)
+    chunk: int = 128            # triangles per resolve chunk
+    pair_cap: int = 262144      # gathered record columns (sorted prefix)
+    med_cap: int = 4096         # max "medium" triangles (bbox > 4 bins)
+    med_slots: int = 64         # bins covered per medium triangle
+
+    @property
+    def bx(self):
+        return _cdiv(self.width, self.bin_size * self.group) * self.group
+
+    @property
+    def by(self):
+        return _cdiv(self.height, self.bin_size)
+
+    @property
+    def num_bins(self):
+        return self.bx * self.by
+
+    @property
+    def pixels_per_bin(self):
+        return self.bin_size * self.bin_size
+
+
+def default_grid(width, height, scale="scene"):
+    """Presets: 'scene' for main/shadow views of full scenes, 'small'
+    for tests/tiny models."""
+    if scale == "small":
+        return BinGrid(width=width, height=height, pair_cap=16384,
+                       med_cap=512, chunk=32)
+    t = BinGrid(width=width, height=height)
+    if width >= 2048:  # shadow maps: bigger bins to bound bin count
+        t = dataclasses.replace(t, bin_size=64, chunk=64, group=2,
+                                pair_cap=524288)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Binning (XLA)
+# ---------------------------------------------------------------------------
+
+
+def build_records(setup: TriangleSetup) -> jax.Array:
+    """(16, T+1) resolve records; column T is an always-miss sentinel."""
+    T = setup.coeffs.shape[0]
+    adj = setup.coeffs.reshape(T, 9).T            # (9, T)
+    # ids stored as exact float VALUES (not bitcasts: id bit patterns
+    # are denormals that TPU arithmetic flushes to zero)
+    ids = jnp.arange(T, dtype=jnp.float32)[None, :]
+    rec = jnp.concatenate([adj, setup.zs.T, setup.ws.T, ids], axis=0)
+    sentinel = jnp.zeros((16, 1), jnp.float32)
+    return jnp.concatenate([rec, sentinel], axis=1)
+
+
+def build_pairs(setup: TriangleSetup, grid: BinGrid):
+    """Returns (starts (B+1,) i32 clamped to pair_cap, sorted_tids
+    (S,) i32) where S = 4T + med_cap*med_slots."""
+    T = setup.bbox.shape[0]
+    bs = grid.bin_size
+    BX, BY, B = grid.bx, grid.by, grid.num_bins
+
+    x0, y0, x1, y1 = (setup.bbox[:, i] for i in range(4))
+    bx0 = jnp.clip((x0 // bs).astype(jnp.int32), 0, BX - 1)
+    by0 = jnp.clip((y0 // bs).astype(jnp.int32), 0, BY - 1)
+    bx1 = jnp.clip(((x1 - 1.0) // bs).astype(jnp.int32), 0, BX - 1)
+    by1 = jnp.clip(((y1 - 1.0) // bs).astype(jnp.int32), 0, BY - 1)
+    w = bx1 - bx0 + 1
+    h = by1 - by0 + 1
+    nb = w * h
+    valid = setup.valid
+
+    def slot_keys(ids, bx0g, by0g, wg, hg, n_slots):
+        """ids (N,); emits (N, n_slots) bin keys (B = invalid)."""
+        s = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+        dx = s % wg[:, None]
+        dy = s // wg[:, None]
+        ok = dy < hg[:, None]
+        key = (by0g[:, None] + dy) * BX + bx0g[:, None] + dx
+        return jnp.where(ok, key, B)
+
+    tri_ids = jnp.arange(T, dtype=jnp.int32)
+    small = valid & (nb <= 4)
+    k_small = slot_keys(tri_ids, bx0, by0, w, h, 4)
+    k_small = jnp.where(small[:, None], k_small, B)
+
+    med = valid & (nb > 4)
+    med_ids = jnp.nonzero(med, size=grid.med_cap, fill_value=T)[0]
+    mi = jnp.minimum(med_ids, T - 1)
+    m_ok = (med_ids < T)[:, None]
+    k_med = slot_keys(med_ids, bx0[mi], by0[mi], w[mi], h[mi],
+                      grid.med_slots)
+    k_med = jnp.where(m_ok, k_med, B)
+
+    keys = jnp.concatenate([k_small.reshape(-1), k_med.reshape(-1)])
+    tids = jnp.concatenate([
+        jnp.broadcast_to(tri_ids[:, None], (T, 4)).reshape(-1),
+        jnp.broadcast_to(med_ids[:, None],
+                         (grid.med_cap, grid.med_slots)).reshape(-1)])
+    sk, st = jax.lax.sort((keys, tids), num_keys=1)
+    starts = jnp.searchsorted(sk, jnp.arange(B + 1, dtype=jnp.int32))
+    starts = jnp.minimum(starts, grid.pair_cap).astype(jnp.int32)
+    return starts, st
+
+
+# ---------------------------------------------------------------------------
+# Pallas resolve kernel
+# ---------------------------------------------------------------------------
+
+
+def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
+                    scratch, sem):
+    bs, G, K = grid.bin_size, grid.group, grid.chunk
+    BX = grid.bx
+    P = bs * bs
+    # pixel sub-blocks bound VMEM: temps are (PSUB, K) f32
+    PSUB = min(P, 1024)
+    NSUB = P // PSUB
+    rows_per_sub = PSUB // bs
+    gy = pl.program_id(0)
+    gx = pl.program_id(1)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (PSUB, 1), 0)
+    lx = (pix % bs).astype(jnp.float32)
+    ly_base = (pix // bs).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    for bl in range(G):
+        b = gy * BX + gx * G + bl
+        start = starts_ref[b]
+        end = starts_ref[b + 1]
+        # chunks are K-aligned windows covering [start, end); lanes
+        # outside the true range are masked (Mosaic requires aligned
+        # dynamic DMA offsets).
+        col0 = (start // K) * K
+        ox = ((gx * G + bl) * bs).astype(jnp.float32)
+        oy = (gy * bs).astype(jnp.float32)
+
+        for sub in range(NSUB):
+            px = lx + ox + 0.5
+            py = ly_base + (sub * rows_per_sub) + oy + 0.5
+
+            def chunk_body(ci, carry):
+                zb, ib = carry
+                col = jnp.minimum(col0 + ci * K, grid.pair_cap - K)
+                col = pl.multiple_of(col, K)
+                dma = pltpu.make_async_copy(
+                    recs_ref.at[:, pl.ds(col, K)], scratch, sem)
+                dma.start()
+                dma.wait()
+                rec = scratch[:]                          # (16, K)
+                gcol = lane + col                         # (1, K)
+                ok = (gcol >= start) & (gcol < end)
+                e0 = rec[0:1] * px + rec[1:2] * py + rec[2:3]
+                e1 = rec[3:4] * px + rec[4:5] * py + rec[5:6]
+                e2 = rec[6:7] * px + rec[7:8] * py + rec[8:9]
+                cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & ok
+                ez = e0 * rec[9:10] + e1 * rec[10:11] + e2 * rec[11:12]
+                ew = e0 * rec[12:13] + e1 * rec[13:14] + e2 * rec[14:15]
+                cov &= ew > 0
+                z = ez / jnp.where(ew != 0, ew, 1.0)
+                cov &= (z >= 0.0) & (z <= 1.0)
+                z = jnp.where(cov, z, jnp.inf)
+                zc = jnp.min(z, axis=1, keepdims=True)    # (PSUB, 1)
+                ids = rec[15:16]                          # float id values
+                win = z == zc                             # ties -> min id
+                idf = jnp.min(jnp.where(win, jnp.broadcast_to(ids, (PSUB, K)),
+                                        jnp.float32(2.0 ** 30)),
+                              axis=1, keepdims=True)
+                idc = idf.astype(jnp.int32)
+                better = zc < zb
+                return (jnp.where(better, zc, zb),
+                        jnp.where(better, idc, ib))
+
+            z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)
+            i0 = jnp.full((PSUB, 1), -1, jnp.int32)
+            nch = (end - col0 + K - 1) // K
+            zb, ib = jax.lax.fori_loop(0, nch, chunk_body, (z0, i0))
+            zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
+            r0 = sub * rows_per_sub
+            depth_ref[r0:r0 + rows_per_sub, bl * bs:(bl + 1) * bs] = (
+                zb.reshape(rows_per_sub, bs))
+            id_ref[r0:r0 + rows_per_sub, bl * bs:(bl + 1) * bs] = (
+                ib.reshape(rows_per_sub, bs))
+
+
+def resolve(starts, recs, grid: BinGrid, interpret: bool = False
+            ) -> VisibilityBuffer:
+    bs, G = grid.bin_size, grid.group
+    BY, BX = grid.by, grid.bx
+    gspec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BY, BX // G),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((bs, G * bs), lambda gy, gx, starts: (gy, gx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, G * bs), lambda gy, gx, starts: (gy, gx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    depth, tid = pl.pallas_call(
+        functools.partial(_resolve_kernel, grid),
+        out_shape=(jax.ShapeDtypeStruct((BY * bs, BX * bs), jnp.float32),
+                   jax.ShapeDtypeStruct((BY * bs, BX * bs), jnp.int32)),
+        grid_spec=gspec,
+        interpret=interpret,
+    )(starts, recs)
+    return VisibilityBuffer(depth=depth[:grid.height, :grid.width],
+                            tri_id=tid[:grid.height, :grid.width])
+
+
+def rasterize(clip, grid: BinGrid, cull: str = "front",
+              interpret: bool | None = None
+              ) -> tuple[VisibilityBuffer, TriangleSetup]:
+    """Full raster: clip (T, 3, 4) per-triangle clip positions (the
+    load-time-expanded layout, models/scene_batch.py) -> visibility.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    T = clip.shape[0]
+    setup = triangle_setup(clip, None, grid.width, grid.height, cull)
+    starts, sorted_tids = build_pairs(setup, grid)
+    records = build_records(setup)
+    recs = records[:, jnp.minimum(sorted_tids[:grid.pair_cap], T)]
+    vis = resolve(starts, recs, grid, interpret=interpret)
+    return vis, setup
+
+
+rasterize_jit = jax.jit(rasterize, static_argnames=("grid", "cull",
+                                                    "interpret"))

@@ -232,6 +232,12 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     else:
         resolved = hdr
 
+    # ---- depth of field (T21; disabled in the reference graph,
+    # renderer.cpp:1119-1153)
+    if cfg.enable_depth_of_field:
+        from ..ops import dof as dof_ops
+        resolved = dof_ops.depth_of_field(resolved, vis.depth, g)
+
     # ---- tone mapping (T20)
     color = tonemap_ops.tone_map(resolved, exposure, g)
 

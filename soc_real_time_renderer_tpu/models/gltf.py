@@ -85,6 +85,7 @@ class ModelData:
     primitives: list[PrimitiveRange] = field(default_factory=list)
     materials: list[MaterialData] = field(default_factory=list)
     images: list[ImageRef] = field(default_factory=list)
+    terrain: bool = False      # terrain models shade via the terrain path
 
     @property
     def triangles(self) -> np.ndarray:

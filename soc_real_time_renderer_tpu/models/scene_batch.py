@@ -45,8 +45,9 @@ class SceneBatch:
     tri_nrm: jax.Array       # (T, 3, 3) f32 object-space vertex normals
     tri_uv: jax.Array        # (T, 3, 2) f32
     tri_entity: jax.Array    # (T,) i32 mesh-entity index
-    static_rows: jax.Array   # (4, T) f32: [material_id, has_normal,
-    #                           has_metallic_roughness, has_emissive]
+    static_rows: jax.Array   # (5, T) f32: [material_id, has_normal,
+    #                           has_metallic_roughness, has_emissive,
+    #                           is_terrain]
     atlas_packed: jax.Array  # (16, M * layer_stride) uint8
 
     @property
@@ -124,7 +125,7 @@ def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
     atlas = pack_material_atlas(all_materials, decoded, size=atlas_size,
                                 workers=workers)
 
-    pos_l, nrm_l, uv_l, ent_l, mat_l = [], [], [], [], []
+    pos_l, nrm_l, uv_l, ent_l, mat_l, ter_l = [], [], [], [], [], []
     for ei, (m, moff) in enumerate(zip(models, mat_offsets)):
         tris = m.triangles.astype(np.int64)
         pos_l.append(m.positions[tris])
@@ -132,27 +133,37 @@ def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
         uv_l.append(m.uvs[tris])
         ent_l.append(np.full(len(tris), ei, np.int32))
         mat_l.append(m.tri_material.astype(np.int32) + moff)
+        ter_l.append(np.full(len(tris), 1.0 if m.terrain else 0.0,
+                             np.float32))
 
     pos = np.concatenate(pos_l).astype(np.float32)
     nrm = np.concatenate(nrm_l).astype(np.float32)
     uv = np.concatenate(uv_l).astype(np.float32)
     ent = np.concatenate(ent_l)
     mat = np.concatenate(mat_l)
+    ter = np.concatenate(ter_l)
 
     if split_extent_frac:
         scene_ext = float((pos.reshape(-1, 3).max(0)
                            - pos.reshape(-1, 3).min(0)).max())
-        pos, nrm, uv, ent, mat = split_large_triangles(
-            pos, nrm, uv, ent, mat, scene_ext * split_extent_frac)
+        pos, nrm, uv, ent, matter = split_large_triangles(
+            pos, nrm, uv, ent, np.stack([mat.astype(np.float32), ter], -1),
+            scene_ext * split_extent_frac)
+        mat = matter[:, 0].astype(np.int32)
+        ter = matter[:, 1]
+
+    # lookup tables indexed by per-tri material id
+    def flag(attr):
+        tbl = np.array([1.0 if getattr(mm, attr) >= 0 else 0.0
+                        for mm in all_materials], np.float32)
+        return tbl[mat]
 
     has = np.stack([
         mat.astype(np.float32),
-        np.array([1.0 if all_materials[i].normal_image >= 0 else 0.0
-                  for i in mat], np.float32),
-        np.array([1.0 if all_materials[i].metallic_roughness_image >= 0
-                  else 0.0 for i in mat], np.float32),
-        np.array([1.0 if all_materials[i].emissive_image >= 0 else 0.0
-                  for i in mat], np.float32),
+        flag("normal_image"),
+        flag("metallic_roughness_image"),
+        flag("emissive_image"),
+        ter,
     ], axis=0)
 
     batch = SceneBatch(

@@ -167,7 +167,7 @@ def build_terrain_model(heightmap: np.ndarray, albedo_rgba: np.ndarray,
         tangents=np.zeros((len(pos), 4), np.float32),
         indices=indices,
         primitives=[PrimitiveRange(0, 0, len(indices), len(pos), 0)],
-        materials=materials, images=images)
+        materials=materials, images=images, terrain=True)
 
 
 def default_albedo(heightmap: np.ndarray) -> np.ndarray:

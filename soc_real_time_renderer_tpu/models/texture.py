@@ -169,13 +169,16 @@ class PackedMaterialAtlas:
 
 
 def _mip_stack_u8(img_f32, size):
-    """(H, W, 4) float [0,1] -> flat (layer_stride, 4) u8 of all mips."""
-    base = resize_bilinear(img_f32, size, size)
-    rows = []
-    for lvl in build_mips(base):
-        rows.append(lvl.reshape(-1, 4))
-    flat = np.concatenate(rows, axis=0)
-    return (np.clip(flat, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    """(H, W, 4) float [0,1] -> flat (layer_stride, 4) u8 of all mips.
+
+    Uses the native C++ pipeline (utils/native.py) when available; mips
+    are box-filtered in the stored (possibly sRGB-encoded) space — a
+    small deviation from the reference's linear-space SRGB blits.
+    """
+    from ..utils import native
+    u8 = (np.clip(img_f32, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    base = native.resize_bilinear_u8(u8, size, size)
+    return native.build_mip_chain_u8(base)
 
 
 def pack_material_atlas(materials, images_u8, size: int = 1024,

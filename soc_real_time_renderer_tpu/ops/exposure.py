@@ -31,7 +31,9 @@ def luminance_histogram(hdr, log_min, log_max):
     n = AUTO_EXPOSURE_BIN_COUNT
     mapped = (log_l - log_min) / (log_max - log_min) * (n - 2) + 1.0
     idx = jnp.clip(mapped.astype(jnp.int32), 0, n - 1)
-    return jnp.bincount(idx, length=n).astype(jnp.int32)
+    # compare+reduce instead of bincount: ~8x faster on TPU (PERF.md)
+    onehot = idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+    return jnp.sum(onehot.astype(jnp.int32), axis=0)
 
 
 def resolve_exposure(hist, prev_exposure, g, num_pixels: int):

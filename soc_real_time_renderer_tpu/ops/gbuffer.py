@@ -57,7 +57,7 @@ def build_shading_records(setup: TriangleSetup, world_pos, world_nrm,
     """(40, T+1) per-triangle shading records (one gather per pixel).
 
     rows: [adj 9 | wpos 9 | wnrm 9 | uv 6 | material_id, has_normal,
-    has_mr, has_emissive | 3 pad].  Column T = sentinel.
+    has_mr, has_emissive, is_terrain | 2 pad].  Column T = sentinel.
     """
     T = setup.coeffs.shape[0]
     rec = jnp.concatenate([
@@ -66,7 +66,7 @@ def build_shading_records(setup: TriangleSetup, world_pos, world_nrm,
         world_nrm.reshape(T, 9).T,
         tri_uv.reshape(T, 6).T,
         static_rows,
-        jnp.zeros((3, T), jnp.float32),
+        jnp.zeros((2, T), jnp.float32),
     ], axis=0)
     return jnp.concatenate([rec, jnp.zeros((40, 1), jnp.float32)], axis=1)
 
@@ -181,6 +181,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     has_n = rec[34][:, None]
     has_mr = rec[35][:, None]
     has_e = rec[36][:, None]
+    is_ter = rec[37][:, None]
 
     lod_sq = jnp.maximum(jnp.sum(duv_dx ** 2, -1),
                          jnp.sum(duv_dy ** 2, -1)) * (atlas_size ** 2)
@@ -211,6 +212,11 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     mapped = mapped / jnp.maximum(
         jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
     normal = mapped * has_n + n * (1.0 - has_n)
+    # terrain path (draw_terrain.inl:203-221): the normal map IS the
+    # world normal (decoded), no TBN
+    ter_n = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True),
+                             1e-8)
+    normal = ter_n * is_ter + normal * (1.0 - is_ter)
 
     # velocity (inl:226-229)
     cur_uv = jnp.stack([px / W, py / H], -1)
@@ -219,6 +225,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     prev_ndc = pc[:, :2] / jnp.where(pw[:, None] != 0, pw[:, None], 1.0)
     prev_uv = prev_ndc * 0.5 + 0.5
     velocity = cur_uv - prev_uv
+    velocity = velocity * (1.0 - is_ter)   # terrain velocity = 0 (:220)
 
     sky = jnp.array(SKY_CLEAR, jnp.float32)
     albedo = jnp.where(miss[:, None], sky, albedo)

@@ -116,11 +116,66 @@ def build_sponza(config: RenderConfig) -> BuiltScene:
                    camera_pos=[-7.0, 1.8, 0.0], camera_target=[0, 1.5, 0])
 
 
+def _terrain_model():
+    from .models import terrain as terrain_mod
+    hm_path = os.environ.get("SOC_TERRAIN_HEIGHTMAP")
+    hm = terrain_mod.load_heightmap(hm_path, n=512)
+    alb_path = os.environ.get("SOC_TERRAIN_ALBEDO")
+    if alb_path:
+        if alb_path.endswith(".exr"):
+            from .utils import exr
+            alb = exr.read_exr_rgba(alb_path)
+        else:
+            from .models.texture import decode_image
+            alb = decode_image(open(alb_path, "rb").read()).astype(
+                np.float32) / 255.0
+    else:
+        alb = terrain_mod.default_albedo(hm)
+    return terrain_mod.build_terrain_model(hm, alb)
+
+
+def build_terrain(config: RenderConfig) -> BuiltScene:
+    """BASELINE config 4: terrain + shadow + atmosphere sky."""
+    scene = Scene("terrain")
+    e = scene.create_entity("terrain")
+    e.add_component(TransformComponent())
+    mc = e.add_component(MeshComponent())
+    mc.model = _terrain_model()
+    return _finish(scene, [mc.model], config,
+                   camera_pos=[20.0, 12.0, 20.0], camera_target=[50, 0, 50])
+
+
+def build_full(config: RenderConfig) -> BuiltScene:
+    """BASELINE config 5: atrium + helmet + terrain, animated camera."""
+    scene = Scene("full")
+    e = scene.create_entity("sponza model")
+    tc = e.add_component(TransformComponent())
+    tc.set_scale([0.01, 0.01, 0.01])
+    mc = e.add_component(MeshComponent())
+    mc.model = proc.build_atrium(
+        texture_dir=os.path.join(ASSETS, "Sponza/glTF"))
+    e2 = scene.create_entity("damaged helmet model")
+    e2.add_component(TransformComponent())
+    mc2 = e2.add_component(MeshComponent())
+    mc2.model = gltf.load_model(
+        os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
+    e3 = scene.create_entity("terrain")
+    tc3 = e3.add_component(TransformComponent())
+    tc3.set_position([0.0, -8.0, 0.0])
+    mc3 = e3.add_component(MeshComponent())
+    mc3.model = _terrain_model()
+    return _finish(scene, [mc.model, mc2.model, mc3.model], config,
+                   camera_pos=[-7.0, 1.8, 0.0], camera_target=[0, 1.5, 0],
+                   animate=True)
+
+
 def build(name: str, config: RenderConfig) -> BuiltScene:
     if name == "helmet":
         return build_helmet(config)
     if name == "sponza":
         return build_sponza(config)
-    if name in ("terrain", "full"):
-        raise NotImplementedError(f"scene '{name}' lands with the terrain pass")
+    if name == "terrain":
+        return build_terrain(config)
+    if name == "full":
+        return build_full(config)
     raise ValueError(name)

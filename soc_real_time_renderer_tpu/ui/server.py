@@ -1,0 +1,230 @@
+"""Interactive web viewer — the window/ImGui replacement.
+
+The reference opens a GLFW window with ImGui panels
+(``window.{hpp,cpp}``, ``renderer.cpp:659-808``).  Headless TPU hosts
+have no display, so the interactive loop is a tiny stdlib HTTP server:
+
+* ``GET /``          — viewer page (canvas + panels, vanilla JS);
+* ``GET /frame.jpg`` — latest rendered frame;
+* ``POST /input``    — WASD/mouse deltas (ControlledCamera3D input);
+* ``GET /schema``    — settings panels + scene hierarchy JSON;
+* ``POST /set``      — mutate a ShaderGlobals param or a component
+  property (the ImGui slider write-through);
+* ``GET /metrics``   — per-pass timing JSON (the GPUMetric HUD).
+
+Run: ``python tools/viewer.py --scene helmet --port 8000``.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html><html><head><title>soc_real_time_renderer_tpu</title>
+<style>body{background:#111;color:#ddd;font-family:monospace;display:flex;margin:0}
+#view{flex:1}#panel{width:340px;overflow-y:auto;height:100vh;padding:8px;background:#1a1a1a}
+canvas{width:100%;image-rendering:pixelated}h4{margin:8px 0 2px;color:#8cf}
+.row{display:flex;justify-content:space-between;margin:1px 0}
+input{width:60px;background:#222;color:#ddd;border:1px solid #444}
+#fps{position:fixed;left:8px;top:8px;color:#8f8}</style></head><body>
+<div id=view><canvas id=c></canvas><div id=fps></div></div><div id=panel></div>
+<script>
+const c=document.getElementById('c'),ctx2=c.getContext('2d');
+let keys={},mx=0,my=0,drag=false,frames=0,t0=performance.now();
+onkeydown=e=>keys[e.key.toLowerCase()]=1;onkeyup=e=>keys[e.key.toLowerCase()]=0;
+c.onmousedown=()=>drag=true;onmouseup=()=>drag=false;
+c.onmousemove=e=>{if(drag){mx+=e.movementX;my+=e.movementY}};
+async function loop(){
+ const inp={forward:!!keys['w'],back:!!keys['s'],left:!!keys['a'],right:!!keys['d'],
+  up:!!keys[' '],down:!!keys['control'],sprint:!!keys['shift'],dx:mx,dy:my};
+ mx=0;my=0;
+ await fetch('/input',{method:'POST',body:JSON.stringify(inp)});
+ const img=new Image();
+ img.onload=()=>{c.width=img.width;c.height=img.height;ctx2.drawImage(img,0,0);
+  frames++;const dt=performance.now()-t0;if(dt>1000){
+  document.getElementById('fps').innerText=(frames*1000/dt).toFixed(1)+' fps';
+  frames=0;t0=performance.now()}
+  requestAnimationFrame(loop)};
+ img.src='/frame.jpg?'+Math.random();
+}
+async function panels(){
+ const s=await (await fetch('/schema')).json();const p=document.getElementById('panel');
+ p.innerHTML='';
+ for(const[sec,props]of Object.entries(s.settings)){
+  const h=document.createElement('h4');h.innerText=sec;p.appendChild(h);
+  for(const pr of props){
+   const row=document.createElement('div');row.className='row';
+   const lab=document.createElement('span');lab.innerText=pr.name;row.appendChild(lab);
+   const vals=Array.isArray(pr.value)?pr.value:[pr.value];
+   vals.forEach((v,i)=>{const inp=document.createElement('input');inp.value=
+    typeof v=='number'?v.toPrecision(4):v;
+    inp.onchange=async()=>{const nv=vals.map((x,j)=>j==i?parseFloat(inp.value):x);
+     await fetch('/set',{method:'POST',body:JSON.stringify({section:sec,
+      name:pr.name,value:Array.isArray(pr.value)?nv:nv[0]})})};
+    row.appendChild(inp)});
+   p.appendChild(row);
+  }}
+ const h=document.createElement('h4');h.innerText='scene';p.appendChild(h);
+ for(const r of s.scene.roots){const n=s.scene.nodes[r];
+  const d=document.createElement('div');d.innerText='\\u2022 '+n.tag;p.appendChild(d)}
+ const m=document.createElement('pre');m.id='metrics';p.appendChild(m);
+ setInterval(async()=>{m.innerText=JSON.stringify(await (await fetch('/metrics')).json(),null,1)},2000);
+}
+panels();loop();
+</script></body></html>"""
+
+
+class ViewerState:
+    def __init__(self, built, render_fn, history, input_state):
+        self.built = built
+        self.render_fn = render_fn
+        self.history = history
+        self.input = input_state
+        self.frame_jpeg = b""
+        self.frame_index = 1
+        self.metrics = {}
+        self.overrides = {}
+        self.lock = threading.Lock()
+
+
+def render_loop(state: ViewerState):
+    """The Application::run analog."""
+    import jax
+    from ..utils.image_io import to_srgb_u8
+    from PIL import Image
+    dt = 1.0 / 60.0
+    while True:
+        t0 = time.perf_counter()
+        with state.lock:
+            g, mm, nm = state.built.frame_globals(state.frame_index, dt)
+            g = _apply_overrides(g, state.overrides)
+        outputs, state.history = state.render_fn(
+            state.built.batch, g, state.history, mm, nm)
+        jax.block_until_ready(outputs.color)
+        frame = to_srgb_u8(np.asarray(outputs.color))
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, format="JPEG", quality=85)
+        state.frame_jpeg = buf.getvalue()
+        state.frame_index += 1
+        ms = (time.perf_counter() - t0) * 1e3
+        state.metrics = {"frame_ms": round(ms, 2),
+                         "fps": round(1000.0 / max(ms, 1e-3), 1),
+                         "frame": state.frame_index}
+
+
+_PARAM_MAP = {
+    ("ssao settings", "bias"): "ssao_bias",
+    ("ssao settings", "radius"): "ssao_radius",
+    ("composition settings", "ambient"): "ambient",
+    ("composition settings", "ambient occlusion strength"):
+        "ambient_occlussion_strength",
+    ("composition settings", "emissive bloom strength"):
+        "emissive_bloom_strength",
+    ("tone mapping settings", "saturation"): "saturation",
+    ("tone mapping settings", "linear section"): "agx_ds_linear_section",
+    ("tone mapping settings", "peak"): "peak",
+    ("tone mapping settings", "compression"): "compression",
+    ("auto exposure settings", "adjustment speed"): "adjustment_speed",
+    ("auto exposure settings", "target luminance"): "target_luminance",
+    ("bloom settings", "filter radius"): "filter_radius",
+    ("depth of field settings", "focal length"): "focal_length",
+    ("depth of field settings", "plane in focus"): "plane_in_focus",
+    ("depth of field settings", "aperture"): "aperture",
+    ("terrain settings", "height scale"): "terrain_height_scale",
+    ("terrain settings", "midpoint"): "terrain_midpoint",
+    ("terrain settings", "scale"): "terrain_scale",
+}
+
+_SUN_MAP = {
+    "exponential factor": "exponential_factor",
+    "darkening factor": "darkening_factor",
+    "bias": "bias",
+    "intensity": "intensity",
+}
+
+
+def _apply_overrides(g, overrides):
+    import dataclasses
+    gkw, skw = {}, {}
+    for (section, name), value in overrides.items():
+        field = _PARAM_MAP.get((section, name))
+        if field:
+            gkw[field] = np.asarray(value, np.float32)
+        elif section == "sun settings" and name in _SUN_MAP:
+            skw[_SUN_MAP[name]] = np.asarray(value, np.float32)
+    if skw:
+        gkw["sun"] = dataclasses.replace(g.sun, **skw)
+    return dataclasses.replace(g, **gkw) if gkw else g
+
+
+def make_handler(state: ViewerState, panel):
+    from ..camera import InputState
+    from . import widgets
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, data, ctype="application/json"):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path.startswith("/frame.jpg"):
+                self._send(state.frame_jpeg or b"", "image/jpeg")
+            elif self.path.startswith("/schema"):
+                with state.lock:
+                    g, _, _ = state.built.frame_globals(state.frame_index)
+                    g = _apply_overrides(g, state.overrides)
+                    data = {"settings": widgets.settings_schema(g),
+                            "scene": panel.tree()}
+                self._send(json.dumps(data).encode())
+            elif self.path.startswith("/metrics"):
+                self._send(json.dumps(state.metrics).encode())
+            else:
+                self._send(_PAGE.encode(), "text/html")
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            if self.path.startswith("/input"):
+                with state.lock:
+                    cam = state.built
+                    inp = InputState(
+                        forward=body.get("forward", False),
+                        back=body.get("back", False),
+                        left=body.get("left", False),
+                        right=body.get("right", False),
+                        up=body.get("up", False),
+                        down=body.get("down", False),
+                        sprint=body.get("sprint", False),
+                        cursor_dx=body.get("dx", 0.0),
+                        cursor_dy=body.get("dy", 0.0))
+                    if hasattr(cam, "apply_input"):
+                        cam.apply_input(inp, 1.0 / 60.0)
+            elif self.path.startswith("/set"):
+                with state.lock:
+                    state.overrides[(body["section"], body["name"])] = \
+                        body["value"]
+            self._send(b"{}")
+
+    return Handler
+
+
+def serve(built, render_fn, history, port: int = 8000):
+    from .scene_panel import SceneHiearchyPanel
+    state = ViewerState(built, render_fn, history, None)
+    panel = SceneHiearchyPanel(built.scene)
+    t = threading.Thread(target=render_loop, args=(state,), daemon=True)
+    t.start()
+    server = ThreadingHTTPServer(("0.0.0.0", port),
+                                 make_handler(state, panel))
+    print(f"viewer on http://localhost:{port}")
+    server.serve_forever()

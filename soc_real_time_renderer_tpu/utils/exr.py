@@ -31,6 +31,10 @@ def _read_cstr(buf, off):
 def _unpredict(data: bytes) -> bytes:
     """OpenEXR zip post-inflate reconstruction: delta-decode then
     de-interleave (first half -> even bytes, second half -> odd)."""
+    from . import native
+    fast = native.exr_unpredict(data)
+    if fast is not None:
+        return fast
     d = np.frombuffer(data, np.uint8).astype(np.int64)
     # spec: d[i] = d[i-1] + d[i] - 128, d[0] unchanged
     d = (np.cumsum(d) - 128 * np.arange(len(d))) % 256

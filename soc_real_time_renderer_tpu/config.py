@@ -276,7 +276,9 @@ class RenderConfig:
     enable_shadows: bool = True
     enable_terrain: bool = False
     enable_ssao: bool = True
-    enable_ssr: bool = True
+    enable_ssr: bool = False  # op exists; reference computes-but-never-uses it
+    #                           (composition.inl:213-216) — off saves 50-step
+    #                           marches of dead work
     composite_ssr: bool = False         # composition.inl:213-216 commented out
     enable_clouds: bool = True
     enable_bloom: bool = True

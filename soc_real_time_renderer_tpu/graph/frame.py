@@ -111,23 +111,46 @@ class FrameOutputs:
 
 
 def transform_triangles(batch: SceneBatch, model_mats, normal_mats):
-    """World transform of the triangle-expanded batch — gather-free:
-    entity matrices selected by one-hot matmul (E is tiny)."""
+    """World transform of the planar triangle batch — gather-free:
+    entity matrices selected by one-hot matmul (E is tiny); all per-
+    triangle arrays keep T on the lane axis (PERF.md)."""
     T = batch.num_triangles
     E = model_mats.shape[0]
-    onehot = (batch.tri_entity[:, None]
-              == jnp.arange(E, dtype=jnp.int32)[None, :]).astype(jnp.float32)
-    mats = (onehot @ model_mats.reshape(E, 16)).reshape(T, 4, 4)
-    nmats = (onehot @ normal_mats.reshape(E, 16)).reshape(T, 4, 4)
-    world = (jnp.einsum("tij,tvj->tvi", mats[:, :3, :3], batch.tri_pos)
-             + mats[:, None, :3, 3])
-    wnrm = jnp.einsum("tij,tvj->tvi", nmats[:, :3, :3], batch.tri_nrm)
+    onehot = (batch.tri_entity[None, :]
+              == jnp.arange(E, dtype=jnp.int32)[:, None]).astype(jnp.float32)
+    mats = model_mats.reshape(E, 16).T @ onehot      # (16, T)
+    nmats = normal_mats.reshape(E, 16).T @ onehot
+
+    def apply(m16, pts, translate):
+        # m16: (16, T) row-major 4x4 per triangle; pts: (3, 3, T)
+        out = []
+        for v in range(3):
+            p = pts[v]
+            rows = []
+            for i in range(3):
+                r = (m16[i * 4 + 0] * p[0] + m16[i * 4 + 1] * p[1]
+                     + m16[i * 4 + 2] * p[2])
+                if translate:
+                    r = r + m16[i * 4 + 3]
+                rows.append(r)
+            out.append(jnp.stack(rows))
+        return jnp.stack(out)                         # (3, 3, T)
+
+    world = apply(mats, batch.tri_pos, True)
+    wnrm = apply(nmats, batch.tri_nrm, False)
     return world, wnrm
 
 
 def _clip_of(world, view_proj):
-    return (jnp.einsum("tvj,ij->tvi", world, view_proj[:, :3])
-            + view_proj[:, 3])
+    """world (3, 3, T) -> clip (3 verts, 4, T) planar."""
+    outs = []
+    for v in range(3):
+        p = world[v]
+        comps = [view_proj[i, 0] * p[0] + view_proj[i, 1] * p[1]
+                 + view_proj[i, 2] * p[2] + view_proj[i, 3]
+                 for i in range(4)]
+        outs.append(jnp.stack(comps))
+    return jnp.stack(outs)
 
 
 def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
@@ -171,11 +194,8 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         ssao_half = ssao_ops.ssao_generate(vis.depth, gbuf.normal, g,
                                            cfg.ssao_kernel_size)
         ssao = ssao_ops.ssao_blur(ssao_half)
-        H, W = vis.depth.shape
-        uvx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-        uvy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-        uvg = jnp.stack(jnp.meshgrid(uvx, uvy, indexing="xy"), -1)
-        ssao_full = sampling.sample_screen(ssao, uvg)
+        # composition samples the half-res target bilinearly at full res
+        ssao_full = sampling.upsample_bilinear(ssao, cfg.height, cfg.width)
     else:
         ssao_full = jnp.ones_like(vis.depth)
 
@@ -186,22 +206,17 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         ssr_img = ssr_ops.ssr(vis.depth, gbuf.albedo, gbuf.normal,
                               gbuf.metallic_roughness, g)
 
-    # ---- clouds + atmosphere (T12) at half res for sky pixels
+    # ---- clouds + atmosphere (T12): sky LUT march (gather-free
+    # procedural noise) + per-pixel directional lookup at half res
     clouds_full = None
     clouds_half = None
     if cfg.enable_clouds:
         from ..ops import clouds as clouds_ops
         hw, hh = cfg.width // 2, cfg.height // 2
-        noise = getattr(batch, "noise_tex", None)
-        if noise is None:
-            noise = _default_noise()
-        clouds_half = clouds_ops.render_clouds(g, vis.depth, noise, hw, hh)
-        H, W = vis.depth.shape
-        uvx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-        uvy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-        uvg = jnp.stack(jnp.meshgrid(uvx, uvy, indexing="xy"), -1)
-        clouds_full = sampling.sample_screen(clouds_half, uvg)
-        clouds_full = clouds_full.transpose(2, 0, 1)
+        lut = clouds_ops.render_sky_lut(g)
+        clouds_half = clouds_ops.sky_from_lut(g, lut, vis.depth, hw, hh)
+        clouds_full = sampling.upsample_bilinear(clouds_half, cfg.height,
+                                                 cfg.width)
 
     # ---- composition (T13)
     hdr = comp_ops.compose(

@@ -41,9 +41,10 @@ def _pytree(cls):
 @dataclass(frozen=True)
 class SceneBatch:
     """Merged triangle-expanded scene geometry (static across frames)."""
-    tri_pos: jax.Array       # (T, 3, 3) f32 object-space vertex positions
-    tri_nrm: jax.Array       # (T, 3, 3) f32 object-space vertex normals
-    tri_uv: jax.Array        # (T, 3, 2) f32
+    tri_pos: jax.Array       # (3 verts, 3 xyz, T) f32 object space (planar:
+    #                           T rides the lane axis — PERF.md)
+    tri_nrm: jax.Array       # (3, 3, T) f32 object-space vertex normals
+    tri_uv: jax.Array        # (3 verts, 2, T) f32
     tri_entity: jax.Array    # (T,) i32 mesh-entity index
     static_rows: jax.Array   # (5, T) f32: [material_id, has_normal,
     #                           has_metallic_roughness, has_emissive,
@@ -52,7 +53,7 @@ class SceneBatch:
 
     @property
     def num_triangles(self):
-        return self.tri_pos.shape[0]
+        return self.tri_pos.shape[2]
 
 
 def split_large_triangles(pos, nrm, uv, ent, mat, max_extent: float,
@@ -95,8 +96,8 @@ def split_large_triangles(pos, nrm, uv, ent, mat, max_extent: float,
         pos = np.concatenate([pos[keep], new_p[0]])
         nrm = np.concatenate([nrm[keep], new_n[0]])
         uv = np.concatenate([uv[keep], new_u[0]])
-        ent = np.concatenate([ent[keep], np.tile(be, 2)])
-        mat = np.concatenate([mat[keep], np.tile(bm, 2)])
+        ent = np.concatenate([ent[keep], be, be])
+        mat = np.concatenate([mat[keep], bm, bm])
     return pos, nrm, uv, ent, mat
 
 
@@ -167,7 +168,9 @@ def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
     ], axis=0)
 
     batch = SceneBatch(
-        tri_pos=pos, tri_nrm=nrm, tri_uv=uv,
+        tri_pos=np.ascontiguousarray(pos.transpose(1, 2, 0)),
+        tri_nrm=np.ascontiguousarray(nrm.transpose(1, 2, 0)),
+        tri_uv=np.ascontiguousarray(uv.transpose(1, 2, 0)),
         tri_entity=ent, static_rows=has,
         atlas_packed=atlas.packed,
     )

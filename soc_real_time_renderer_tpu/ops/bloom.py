@@ -2,68 +2,99 @@
 
 Port of ``bloom_downsample.inl:71-144`` / ``bloom_upsample.inl:80-130``
 with the reference's graph wiring (``renderer.cpp:1024-1062``): the
-chain runs on the **emissive** G-buffer target — emissive -> mip0 ->
-... -> mip3, then mip3 upsampled additively (ONE+ONE blending,
-``bloom_upsample.inl:31-44``) back up the chain into emissive.
+chain runs on the **emissive** target — emissive -> mip0 (FULL res) ->
+mip1 (half) -> ... -> mip3, then additively upsampled back
+(ONE+ONE blending, ``bloom_upsample.inl:31-44``).  Mip i is
+(W >> i, H >> i) (renderer.cpp:862-881).
 
-Mip i has resolution (W >> i, H >> i) — mip0 is FULL resolution, so the
-first "downsample" is a same-size 13-tap blur (renderer.cpp:862-881
-mip_size starts at window size; chain wiring renderer.cpp:1024-1062).
+TPU shaping (PERF.md): every tap lands on an integer/half-integer
+lattice, so the whole chain is shifts + 2x2 pools + a separable x2
+upsample — ZERO gathers:
+
+* downsample to half res: dst texel = 2x2 box at (2x+ox, 2y+oy); the
+  13 taps share one base, so it's sum(w_k * shift(src, k)) -> avgpool2;
+* same-size pass (emissive -> mip0): taps are plain integer shifts;
+* upsample: the 3x3 tent filter runs at source res (shifts), then one
+  separable bilinear x2 (weights 0.25/0.75 interleave).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import sampling
+from .sampling import shift
+
+# 13-tap weights by (ox, oy) offset in source texels
+# (bloom_downsample.inl:119-141)
+_DOWN_TAPS = (
+    [(0, 0, 0.125)]
+    + [(ox, oy, 0.03125) for ox in (-2, 2) for oy in (-2, 2)]
+    + [(0, 2, 0.0625), (0, -2, 0.0625), (-2, 0, 0.0625), (2, 0, 0.0625)]
+    + [(ox, oy, 0.125) for ox in (-1, 1) for oy in (-1, 1)]
+)
+
+_TENT = [(-1, -1, 1.0), (0, -1, 2.0), (1, -1, 1.0),
+         (-1, 0, 2.0), (0, 0, 4.0), (1, 0, 2.0),
+         (-1, 1, 1.0), (0, 1, 2.0), (1, 1, 1.0)]
 
 
-def _grid_uv(h, w):
-    ux = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    uy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    return jnp.stack(jnp.meshgrid(ux, uy, indexing="xy"), -1)  # (h, w, 2)
+def _filter13(src):
+    out = jnp.zeros_like(src)
+    for ox, oy, w in _DOWN_TAPS:
+        out = out + w * shift(src, ox, oy)
+    return out
+
+
+def _avgpool2(img):
+    C, H, W = img.shape
+    return img[:, :H // 2 * 2, :W // 2 * 2].reshape(
+        C, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
 
 
 def downsample_13tap(src, dst_h, dst_w):
-    """src: (3, H, W) -> (3, dst_h, dst_w)."""
+    """(3, H, W) -> (3, dst_h, dst_w), dst = src or src/2."""
     H, W = src.shape[1:]
-    x = 1.0 / W
-    y = 1.0 / H
-    uv = _grid_uv(dst_h, dst_w)
+    if (dst_h, dst_w) == (H, W):
+        return _filter13(src)
+    assert (dst_h, dst_w) == (H // 2, W // 2), (src.shape, dst_h, dst_w)
+    # dst texel centre sits at src (2x+0.5, 2y+0.5): each tap is a 2x2
+    # box of the tap-shifted source
+    out = jnp.zeros((src.shape[0], dst_h, dst_w), src.dtype)
+    for ox, oy, w in _DOWN_TAPS:
+        out = out + w * _avgpool2(shift(src, ox, oy))
+    return out
 
-    def tap(dx, dy):
-        return sampling.sample_screen(
-            src, uv + jnp.array([dx, dy], jnp.float32))  # (h, w, 3)
 
-    a = tap(-2 * x, 2 * y); b = tap(0, 2 * y); c = tap(2 * x, 2 * y)
-    d = tap(-2 * x, 0);     e = tap(0, 0);     f = tap(2 * x, 0)
-    g = tap(-2 * x, -2 * y); h_ = tap(0, -2 * y); i = tap(2 * x, -2 * y)
-    j = tap(-x, y); k = tap(x, y); l = tap(-x, -y); m = tap(x, -y)
-    out = (e * 0.125 + (a + c + g + i) * 0.03125 + (b + d + f + h_) * 0.0625
-           + (j + k + l + m) * 0.125)
-    return out.transpose(2, 0, 1)
+def _upsample2(img):
+    """Separable bilinear x2: out length 2N, weights 0.75/0.25."""
+    def axis_up(x, axis):
+        a = shift(x, -1, 0) if axis == 2 else shift(x, 0, -1)
+        b = shift(x, 1, 0) if axis == 2 else shift(x, 0, 1)
+        even = 0.25 * a + 0.75 * x
+        odd = 0.75 * x + 0.25 * b
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        shp = list(x.shape)
+        shp[axis] *= 2
+        return stacked.reshape(shp)
+
+    return axis_up(axis_up(img, 2), 1)
 
 
 def upsample_tent(src, dst_h, dst_w):
-    """src: (3, h, w) lower mip -> (3, dst_h, dst_w) tent-filtered."""
-    H, W = src.shape[1:]
-    x = 1.0 / W          # offsets in SOURCE texel units (upsample.inl:99-100)
-    y = 1.0 / H
-    uv = _grid_uv(dst_h, dst_w)
-
-    def tap(dx, dy):
-        return sampling.sample_screen(
-            src, uv + jnp.array([dx, dy], jnp.float32))
-
-    a = tap(-x, y); b = tap(0, y); c = tap(x, y)
-    d = tap(-x, 0); e = tap(0, 0); f = tap(x, 0)
-    g = tap(-x, -y); h_ = tap(0, -y); i = tap(x, -y)
-    out = (e * 4.0 + (b + d + f + h_) * 2.0 + (a + c + g + i)) / 16.0
-    return out.transpose(2, 0, 1)
+    """(3, h, w) lower mip -> (3, dst_h, dst_w) tent-filtered
+    (tap offsets are in SOURCE texel units, upsample.inl:99-100)."""
+    t = jnp.zeros_like(src)
+    for ox, oy, w in _TENT:
+        t = t + w * shift(src, ox, oy)
+    t = t / 16.0
+    if (dst_h, dst_w) == src.shape[1:]:
+        return t
+    up = _upsample2(t)
+    return up[:, :dst_h, :dst_w]
 
 
 def bloom(emissive, mip_count: int = 4):
-    """Full chain on the emissive target; returns the blurred emissive
-    (additive upsample back into each level, ONE+ONE)."""
+    """Full chain on the emissive target; additive upsample back into
+    each level (ONE+ONE) and finally into emissive."""
     H, W = emissive.shape[1:]
     mips = []
     cur = emissive
@@ -71,7 +102,6 @@ def bloom(emissive, mip_count: int = 4):
         h, w = max(H >> i, 1), max(W >> i, 1)
         cur = downsample_13tap(cur, h, w)
         mips.append(cur)
-    # upsample: mip3 -> mip2 -> ... -> emissive, additive into each dst
     cur = mips[-1]
     for i in range(mip_count - 2, -1, -1):
         h, w = mips[i].shape[1:]

@@ -118,16 +118,45 @@ def _atmospheric_scattering_top(sun_dir):
     return scatter_sun * absorb_sun * SUN_BRIGHTNESS
 
 
+def _hash2(x, y):
+    """Procedural 2D value hash (the SSAO shader's rand(), applied to
+    integer lattice coords)."""
+    return jnp.mod(jnp.sin(x * 12.9898 + y * 78.233) * 43758.5453, 1.0)
+
+
+def _value_noise2(u, v):
+    """Bilinear value noise over the integer lattice — pure ALU."""
+    iu = jnp.floor(u)
+    iv = jnp.floor(v)
+    fu = u - iu
+    fv = v - iv
+    fu = fu * fu * (3.0 - 2.0 * fu)
+    fv = fv * fv * (3.0 - 2.0 * fv)
+    a = _hash2(iu, iv)
+    b = _hash2(iu + 1.0, iv)
+    c = _hash2(iu, iv + 1.0)
+    d = _hash2(iu + 1.0, iv + 1.0)
+    return (a + (b - a) * fu) * (1 - fv) + (c + (d - c) * fu) * fv
+
+
 def _get_3d_noise(pos, noise_tex):
-    """:219-233: fake 3D from tiled 2D noise; noise_tex (N, N) float."""
-    from . import sampling
+    """:219-233: fake 3D from a tiled 2D noise field with z-slice
+    interpolation.  With noise_tex=None the reference's noise.png is
+    replaced by procedural value noise (gather-free on TPU — PERF.md;
+    cloud shapes differ from the reference but statistics match)."""
     p = jnp.floor(pos[..., 2])
     f = pos[..., 2] - p
     inv_res = 1.0 / 64.0
     z_stretch = 17.0 * inv_res
-    coord = pos[..., :2] * inv_res + p[..., None] * z_stretch
-    n0 = _sample_repeat(noise_tex, coord)
-    n1 = _sample_repeat(noise_tex, coord + z_stretch)
+    cu = pos[..., 0] * inv_res + p * z_stretch
+    cv = pos[..., 1] * inv_res + p * z_stretch
+    if noise_tex is None:
+        n0 = _value_noise2(cu * 64.0, cv * 64.0)
+        n1 = _value_noise2((cu + z_stretch) * 64.0, (cv + z_stretch) * 64.0)
+    else:
+        n0 = _sample_repeat(noise_tex, jnp.stack([cu, cv], -1))
+        n1 = _sample_repeat(noise_tex,
+                            jnp.stack([cu + z_stretch, cv + z_stretch], -1))
     return n0 + (n1 - n0) * f
 
 
@@ -180,14 +209,18 @@ def _get_clouds(p, camera_pos, elapsed_time, noise_tex):
 
 def _sun_visibility(p, sun_dir, camera_pos, elapsed_time, noise_tex,
                     steps: int = 10):
-    """:264-278."""
+    """:264-278 (fori_loop to keep the traced graph small)."""
+    from jax import lax
     r_steps = CLOUD_THICKNESS / steps
     inc = sun_dir * r_steps
-    pos = p + inc * 0.5
-    trans = jnp.zeros(p.shape[:-1], jnp.float32)
-    for _ in range(steps):
-        trans = trans + _get_clouds(pos, camera_pos, elapsed_time, noise_tex)
-        pos = pos + inc
+    p0 = p + inc * 0.5
+
+    def body(i, trans):
+        pos = p0 + inc * i.astype(jnp.float32)
+        return trans + _get_clouds(pos, camera_pos, elapsed_time, noise_tex)
+
+    trans = lax.fori_loop(0, steps, body,
+                          jnp.zeros(p.shape[:-1], jnp.float32))
     return jnp.exp(-trans * r_steps)
 
 
@@ -208,11 +241,13 @@ def _volumetric_clouds(ray_dir, sun_dir, color, dither, sun_color,
     phase = _phase_two_lobes(ldotw)
     sky_light = _atmospheric_scattering_top(sun_dir)
 
-    scattering = jnp.zeros(color.shape, jnp.float32)
-    trans = jnp.ones(step_len.shape, jnp.float32)
-    for _ in range(steps):
-        od = _get_clouds(pos, camera_pos, elapsed_time, noise_tex) * step_len
-        sunv = _sun_visibility(pos, sun_dir, camera_pos, elapsed_time,
+    from jax import lax
+
+    def body(i, carry):
+        scattering, trans = carry
+        cpos = pos + inc * i.astype(jnp.float32)
+        od = _get_clouds(cpos, camera_pos, elapsed_time, noise_tex) * step_len
+        sunv = _sun_visibility(cpos, sun_dir, camera_pos, elapsed_time,
                                noise_tex)
         integral = _scatter_integral(od)
         beers_powder = _powder(od * jnp.log(2.0))
@@ -224,7 +259,11 @@ def _volumetric_clouds(ray_dir, sun_dir, color, dither, sun_color,
         scattering = scattering + jnp.where(
             hit[..., None], scat * trans[..., None], 0.0)
         trans = jnp.where(hit, trans * jnp.exp(-od), trans)
-        pos = pos + inc
+        return scattering, trans
+
+    scattering, trans = lax.fori_loop(
+        0, steps, body, (jnp.zeros(color.shape, jnp.float32),
+                         jnp.ones(step_len.shape, jnp.float32)))
 
     mixed = color * trans[..., None] + scattering
     fade = jnp.clip(jnp.linalg.norm(start, axis=-1) * 0.00001 * 2.5, 0.0, 1.0)
@@ -260,7 +299,10 @@ def _atmosphere(ray_dir, origin, sun_dir, elapsed_time,
     i_od_rlh = jnp.zeros(i_step.shape, jnp.float32)
     i_od_mie = jnp.zeros(i_step.shape, jnp.float32)
 
-    for _ in range(i_steps):
+    from jax import lax
+
+    def i_body(ii, carry):
+        (i_time, total_rlh, total_mie, i_od_rlh, i_od_mie) = carry
         i_pos = origin + r * (i_time + i_step * 0.5)[..., None]
         i_h = jnp.linalg.norm(i_pos, axis=-1) - r_planet
         od_rlh = jnp.exp(-i_h / sh_rlh) * i_step
@@ -270,24 +312,31 @@ def _atmosphere(ray_dir, origin, sun_dir, elapsed_time,
 
         _, j_far = _rsi(i_pos, sun_dir, r_atmos)
         j_step = j_far / j_steps
-        j_time = jnp.zeros_like(j_step)
-        j_od_rlh = jnp.zeros_like(j_step)
-        j_od_mie = jnp.zeros_like(j_step)
-        for _ in range(j_steps):
+
+        def j_body(jj, jcarry):
+            j_od_rlh, j_od_mie = jcarry
+            j_time = j_step * jj.astype(jnp.float32)
             j_pos = i_pos + sun_dir * (j_time + j_step * 0.5)[..., None]
             j_h = jnp.linalg.norm(j_pos, axis=-1) - r_planet
-            j_od_rlh = j_od_rlh + jnp.exp(-j_h / sh_rlh) * j_step
-            j_od_mie = j_od_mie + jnp.exp(-j_h / sh_mie) * j_step
-            j_time = j_time + j_step
+            return (j_od_rlh + jnp.exp(-j_h / sh_rlh) * j_step,
+                    j_od_mie + jnp.exp(-j_h / sh_mie) * j_step)
+
+        j_od_rlh, j_od_mie = lax.fori_loop(
+            0, j_steps, j_body,
+            (jnp.zeros_like(j_step), jnp.zeros_like(j_step)))
 
         attn = jnp.exp(-(k_mie * (i_od_mie + j_od_mie)[..., None]
                          + k_rlh * (i_od_rlh + j_od_rlh)[..., None]))
         total_rlh = total_rlh + od_rlh[..., None] * attn
         total_mie = total_mie + od_mie[..., None] * attn
-        i_time = i_time + i_step
+        return (i_time + i_step, total_rlh, total_mie, i_od_rlh, i_od_mie)
+
+    (_, total_rlh, total_mie, _, _) = lax.fori_loop(
+        0, i_steps, i_body,
+        (i_time, total_rlh, total_mie, i_od_rlh, i_od_mie))
 
     out = i_sun * (p_rlh[..., None] * k_rlh * total_rlh
-                   + p_mie * k_mie * total_mie)
+                   + p_mie[..., None] * k_mie * total_mie)
     return jnp.where(miss[..., None], 0.0, out)
 
 
@@ -336,3 +385,79 @@ def render_clouds(g, depth_full, noise_tex, width: int, height: int):
     sky = sky * horizon
     out = jnp.where(sky_mask[..., None], sky, color)
     return out.transpose(2, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Sky LUT path (the production TPU path)
+# ---------------------------------------------------------------------------
+#
+# The reference cloud field is CAMERA-RELATIVE in xz (get_clouds does
+# ``p.xz += camera_position.xz`` on ray-relative positions, :237), so
+# for a given frame the whole sky is a function of ray direction only.
+# Instead of marching every sky pixel, march a small lat-long direction
+# LUT (procedural noise -> zero gathers, pure VPU) and look it up per
+# pixel.  The bayer dither becomes LUT interpolation smoothing.
+
+
+def render_sky_lut(g, lut_w: int = 256, lut_h: int = 128,
+                   noise_tex=None):
+    """March the full atmosphere+clouds over a lat-long direction LUT.
+
+    Returns (3, lut_h, lut_w): azimuth in [-pi, pi) across width,
+    elevation in [-pi/2, pi/2] across height.
+    """
+    az = (jnp.arange(lut_w, dtype=jnp.float32) + 0.5) / lut_w * 2.0 * jnp.pi - jnp.pi
+    el = (jnp.arange(lut_h, dtype=jnp.float32) + 0.5) / lut_h * jnp.pi - jnp.pi / 2
+    ca, sa = jnp.cos(az)[None, :], jnp.sin(az)[None, :]
+    ce, se = jnp.cos(el)[:, None], jnp.sin(el)[:, None]
+    ray = jnp.stack([jnp.broadcast_to(ce * ca, (lut_h, lut_w)),
+                     jnp.broadcast_to(se, (lut_h, lut_w)),
+                     jnp.broadcast_to(ce * sa, (lut_h, lut_w))], -1)
+
+    sun_dir = -g.sun.direction
+    origin = jnp.array([0.0, 6372e3, 0.0], jnp.float32) + g.camera.position
+    atmos = _atmosphere(ray, origin, sun_dir, g.elapsed_time)
+    sky = _volumetric_clouds(ray, sun_dir, atmos,
+                             jnp.full((lut_h, lut_w), 0.5, jnp.float32),
+                             jnp.array([0.8, 0.8, 0.8], jnp.float32),
+                             g.camera.position, g.elapsed_time, noise_tex)
+    horizon = jnp.maximum(
+        jnp.minimum(jnp.abs(sun_dir[0]), jnp.abs(sun_dir[2])) + sun_dir[1],
+        0.0)
+    return (sky * horizon).transpose(2, 0, 1)
+
+
+def sky_from_lut(g, lut, depth_full, width: int, height: int):
+    """Per-pixel sky via LUT lookup at the pixel's ray direction.
+
+    Matches render_clouds' ray construction (:445-455 quirks: uv uses
+    resolution-1; view ray built from inverse view of (vx, vy, -1, 0)).
+    Returns (3, height, width) half-res sky colour.
+    """
+    from . import sampling
+    px = jnp.arange(width, dtype=jnp.float32)
+    py = jnp.arange(height, dtype=jnp.float32)
+    u = jnp.broadcast_to(px[None, :] / (width - 1.0), (height, width))
+    v = jnp.broadcast_to(py[:, None] / (height - 1.0), (height, width))
+    ndc_x = u * 2.0 - 1.0
+    ndc_y = v * 2.0 - 1.0
+
+    inv_p = g.camera.inv_projection
+    vx = inv_p[0, 0] * ndc_x + inv_p[0, 1] * ndc_y - inv_p[0, 2] + 0 * inv_p[0, 3]
+    vy = inv_p[1, 0] * ndc_x + inv_p[1, 1] * ndc_y - inv_p[1, 2]
+    inv_v = g.camera.inv_view
+    wx = inv_v[0, 0] * vx + inv_v[0, 1] * vy - inv_v[0, 2]
+    wy = inv_v[1, 0] * vx + inv_v[1, 1] * vy - inv_v[1, 2]
+    wz = inv_v[2, 0] * vx + inv_v[2, 1] * vy - inv_v[2, 2]
+    n = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-12))
+    dx, dy, dz = wx / n, wy / n, wz / n
+
+    az = jnp.arctan2(dz, dx)
+    el = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
+    lu = (az + jnp.pi) / (2.0 * jnp.pi)
+    lv = (el + jnp.pi / 2) / jnp.pi
+    sky = sampling.sample_screen(lut, jnp.stack([lu, lv]))
+
+    d = sampling.sample_screen(depth_full, jnp.stack([u, v]))
+    base = jnp.array([0.2, 0.4, 1.0], jnp.float32)[:, None, None]
+    return jnp.where((d == 1.0)[None], sky, base)

@@ -1,4 +1,4 @@
-"""Deferred lighting composition pass.
+"""Deferred lighting composition pass (planar layout).
 
 Pure-function port of the reference's composition fragment shader
 (``/root/reference/src/graphics/tasks/composition.inl:82-228``),
@@ -8,14 +8,17 @@ including its quirks (kept for pixel comparability):
   albedo factor (``:203``); point/spot lights multiply albedo *inside*
   the light function (``:125,160``) and the total is multiplied by
   albedo again (``:213``) — i.e. albedo² for local lights;
-* exponential shadow factor
-  ``clamp(exp(k (z - d))^darkening, 0, 1)`` with the shadow map read
-  through a *linear* (not comparison) sampler (``:169-173``);
+* exponential shadow factor ``clamp(exp(k (z - d))^darkening, 0, 1)``
+  with the shadow map read through a *linear* (not comparison) sampler
+  (``:169-173``);
 * the 2-step dithered volumetric march is computed then force-zeroed
-  (``:176-196``) — we implement it behind ``enable_volumetric`` and
-  default it off like the reference;
-* SSR mix is commented out (``:213-216``) — same flag treatment;
+  (``:176-196``) — implemented behind ``enable_volumetric``, default
+  off like the reference;
+* SSR mix is commented out (``:213-216``) — RenderConfig.composite_ssr;
 * sky pixels (depth == 1) take the clouds image (``:220-222``).
+
+All vectors ride the leading axis ((3, P) / (3, H, W) — PERF.md); the
+128-slot light arrays run as a lax.scan, each step planar over pixels.
 """
 from __future__ import annotations
 
@@ -23,6 +26,7 @@ import jax.numpy as jnp
 
 from . import sampling
 from ..config import ShaderGlobals
+from ..utils.vec import dot3, mat_vec3, normalize3
 
 DITHER_PATTERN = jnp.array([  # composition.inl:104-108 (row = x%4, col = y%4)
     [0.0, 0.5, 0.125, 0.625],
@@ -34,14 +38,21 @@ HG_G = 0.7  # composition.inl:102
 
 
 def world_from_depth(uv, depth, inv_projection, inv_view):
-    """composition.inl:114-122: clip=(uv*2-1, depth, 1) -> world."""
-    ndc = uv * 2.0 - 1.0
-    clip = jnp.stack([ndc[..., 0], ndc[..., 1], depth,
-                      jnp.ones_like(depth)], axis=-1)
-    view = clip @ inv_projection.T
-    view = view / jnp.where(view[..., 3:4] != 0, view[..., 3:4], 1.0)
-    world = view @ inv_view.T
-    return world[..., :3]
+    """composition.inl:114-122 planar: uv (2, ...), depth (...)."""
+    view = view_from_depth(uv, depth, inv_projection)
+    return mat_vec3(inv_view[:3, :3], view, inv_view[:3, 3])
+
+
+def view_from_depth(uv, depth, inv_projection):
+    ndc_x = uv[0] * 2.0 - 1.0
+    ndc_y = uv[1] * 2.0 - 1.0
+    P = inv_projection
+    vx = P[0, 0] * ndc_x + P[0, 1] * ndc_y + P[0, 2] * depth + P[0, 3]
+    vy = P[1, 0] * ndc_x + P[1, 1] * ndc_y + P[1, 2] * depth + P[1, 3]
+    vz = P[2, 0] * ndc_x + P[2, 1] * ndc_y + P[2, 2] * depth + P[2, 3]
+    vw = P[3, 0] * ndc_x + P[3, 1] * ndc_y + P[3, 2] * depth + P[3, 3]
+    vw = jnp.where(vw != 0, vw, 1.0)
+    return jnp.stack([vx / vw, vy / vw, vz / vw])
 
 
 def _henyey_greenstein(cos_theta, g=HG_G):
@@ -49,140 +60,140 @@ def _henyey_greenstein(cos_theta, g=HG_G):
                             * (1.0 + g * g - 2.0 * g * cos_theta) ** 1.5)
 
 
-def _point_lights(g: ShaderGlobals, albedo, normal, position):
-    """composition.inl:124-140 for all 128 slots, masked by count."""
-    lp = g.lights.point_position                  # (L, 3)
-    L = lp.shape[0]
-    to_l = lp[None, :, :] - position[:, None, :]  # (P, L, 3)
-    dist2 = jnp.sum(to_l * to_l, -1)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-    ldir = to_l / dist[..., None]
-    atten = 1.0 / jnp.maximum(dist2, 1e-12)
-    vdir = g.camera.position[None, :] - position
-    vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True),
-                              1e-8)
-    half = ldir + vdir[:, None, :]
-    half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True),
-                              1e-8)
-    diffuse = jnp.maximum(jnp.einsum("plc,pc->pl", ldir, normal), 0.0)
-    nh = jnp.arccos(jnp.clip(jnp.einsum("plc,pc->pl", half, normal),
-                             -1.0, 1.0))
-    spec = jnp.exp(-(nh * nh))
-    mask = (jnp.arange(L) < g.lights.point_count).astype(jnp.float32)
-    contrib = (albedo[:, None, :] * g.lights.point_color[None]
-               * (diffuse + spec)[..., None] * atten[..., None]
-               * g.lights.point_intensity[None, :, None]
-               * mask[None, :, None])
-    return jnp.sum(contrib, axis=1)
+def _project(m, v):
+    """(4,4) @ points (3, P) -> ((3, P) ndc, (P,) w)."""
+    x = m[0, 0] * v[0] + m[0, 1] * v[1] + m[0, 2] * v[2] + m[0, 3]
+    y = m[1, 0] * v[0] + m[1, 1] * v[1] + m[1, 2] * v[2] + m[1, 3]
+    z = m[2, 0] * v[0] + m[2, 1] * v[1] + m[2, 2] * v[2] + m[2, 3]
+    w = m[3, 0] * v[0] + m[3, 1] * v[1] + m[3, 2] * v[2] + m[3, 3]
+    ws = jnp.where(w != 0, w, 1.0)
+    return jnp.stack([x / ws, y / ws, z / ws]), w
 
 
-def _spot_lights(g: ShaderGlobals, albedo, normal, position):
-    """composition.inl:142-160."""
-    lp = g.lights.spot_position
-    L = lp.shape[0]
-    to_l = lp[None, :, :] - position[:, None, :]
-    dist2 = jnp.sum(to_l * to_l, -1)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-    ldir = to_l / dist[..., None]
-    sdir = g.lights.spot_direction
-    sdir = sdir / jnp.maximum(jnp.linalg.norm(sdir, axis=-1, keepdims=True), 1e-8)
-    theta = jnp.einsum("plc,lc->pl", ldir, -sdir)
-    eps = g.lights.spot_cut_off - g.lights.spot_outer_cut_off
-    eps = jnp.where(eps != 0, eps, 1e-6)
-    cone = jnp.clip((theta - g.lights.spot_outer_cut_off[None]) / eps[None],
-                    0.0, 1.0)
-    atten = 1.0 / jnp.maximum(dist2, 1e-12)
-    vdir = g.camera.position[None, :] - position
-    vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True), 1e-8)
-    half = ldir + vdir[:, None, :]
-    half = half / jnp.maximum(jnp.linalg.norm(half, axis=-1, keepdims=True), 1e-8)
-    diffuse = jnp.maximum(jnp.einsum("plc,pc->pl", ldir, normal), 0.0)
-    nh = jnp.arccos(jnp.clip(jnp.einsum("plc,pc->pl", half, normal),
-                             -1.0, 1.0))
-    spec = jnp.exp(-(nh * nh))
-    mask = (jnp.arange(L) < g.lights.spot_count).astype(jnp.float32)
-    contrib = (albedo[:, None, :] * g.lights.spot_color[None]
-               * (diffuse + spec)[..., None] * atten[..., None]
-               * g.lights.spot_intensity[None, :, None]
-               * cone[..., None] * mask[None, :, None])
-    return jnp.sum(contrib, axis=1)
+def _local_lights(g: ShaderGlobals, albedo, normal, position):
+    """Point + spot lights (composition.inl:124-160) over the fixed 128
+    slots (shared.inl:84-85) as a lax.scan; masked by count."""
+    from jax import lax
+
+    cam = g.camera.position
+    vdir = normalize3(cam[:, None] - position)     # (3, P)
+
+    def point_step(acc, light):
+        lp, lc, li, on = light
+        to_l = lp[:, None] - position
+        d2 = jnp.maximum(dot3(to_l, to_l), 1e-12)
+        ldir = to_l / jnp.sqrt(d2)
+        half = normalize3(ldir + vdir)
+        diffuse = jnp.maximum(dot3(ldir, normal), 0.0)
+        nh = jnp.arccos(jnp.clip(dot3(half, normal), -1.0, 1.0))
+        spec = jnp.exp(-(nh * nh))
+        s = (diffuse + spec) / d2 * li * on
+        return acc + albedo * (lc[:, None] * s[None, :]), None
+
+    pl_on = (jnp.arange(g.lights.point_position.shape[0])
+             < g.lights.point_count).astype(jnp.float32)
+    acc = jnp.zeros_like(albedo)
+    acc, _ = lax.scan(point_step, acc,
+                      (g.lights.point_position, g.lights.point_color,
+                       g.lights.point_intensity, pl_on))
+
+    def spot_step(a, light):
+        lp, ld, lc, li, cut, ocut, on = light
+        to_l = lp[:, None] - position
+        d2 = jnp.maximum(dot3(to_l, to_l), 1e-12)
+        ldir = to_l / jnp.sqrt(d2)
+        sd = normalize3(-ld)
+        theta = dot3(ldir, sd[:, None])
+        eps = jnp.where(cut - ocut != 0, cut - ocut, 1e-6)
+        cone = jnp.clip((theta - ocut) / eps, 0.0, 1.0)
+        half = normalize3(ldir + vdir)
+        diffuse = jnp.maximum(dot3(ldir, normal), 0.0)
+        nh = jnp.arccos(jnp.clip(dot3(half, normal), -1.0, 1.0))
+        spec = jnp.exp(-(nh * nh))
+        s = (diffuse + spec) / d2 * li * cone * on
+        return a + albedo * (lc[:, None] * s[None, :]), None
+
+    sl_on = (jnp.arange(g.lights.spot_position.shape[0])
+             < g.lights.spot_count).astype(jnp.float32)
+    acc, _ = lax.scan(spot_step, acc,
+                      (g.lights.spot_position, g.lights.spot_direction,
+                       g.lights.spot_color, g.lights.spot_intensity,
+                       g.lights.spot_cut_off, g.lights.spot_outer_cut_off,
+                       sl_on))
+    return acc
 
 
 def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
             shadow_map, clouds, *, enable_volumetric: bool = False,
             enable_shadow: bool = True):
-    """Full composition pass.
+    """Full composition pass (planar).
 
-    depth: (H, W); albedo/emissive/normal: (3, H, W); ssao: (H, W) (pass
-    ones to disable); shadow_map: (S, S) or None; clouds: (3, H, W) or
-    None.  Returns (3, H, W) HDR colour.
+    depth: (H, W); albedo/emissive/normal: (3, H, W); ssao: (H, W);
+    shadow_map: (S, S) or None; clouds: (3, H, W) or None.
+    Returns (3, H, W) HDR colour.
     """
     H, W = depth.shape
-    uvx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    uvy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    uv = jnp.stack(jnp.meshgrid(uvx, uvy, indexing="xy"), -1).reshape(-1, 2)
+    uv = sampling.grid_uv(H, W).reshape(2, -1)
 
     d = depth.reshape(-1)
     position = world_from_depth(uv, d, g.camera.inv_projection,
-                                g.camera.inv_view)
-    alb = albedo.reshape(3, -1).T
-    emi = emissive.reshape(3, -1).T * g.emissive_bloom_strength
-    nrm = normal.reshape(3, -1).T
+                                g.camera.inv_view)          # (3, P)
+    alb = albedo.reshape(3, -1)
+    emi = emissive.reshape(3, -1) * g.emissive_bloom_strength
+    nrm = normal.reshape(3, -1)
     occ = jnp.power(jnp.maximum(ssao.reshape(-1), 0.0),
                     g.ambient_occlussion_strength)
 
     # --- sun shadow (composition.inl:164-173)
     if enable_shadow and shadow_map is not None:
         spv = g.sun.projection_view
-        sp = position @ spv[:3, :3].T + spv[:3, 3]
-        sw = position @ spv[3, :3].T + spv[3, 3]
-        proj = sp / jnp.where(sw[:, None] != 0, sw[:, None], 1.0)
-        suv = proj[:, :2] * 0.5 + 0.5
+        sp, _ = _project(spv, position)
+        suv = jnp.stack([sp[0] * 0.5 + 0.5, sp[1] * 0.5 + 0.5])
         sdepth = sampling.sample_screen(shadow_map, suv)
         sun_shadow = jnp.clip(
-            jnp.exp(g.sun.exponential_factor * (proj[:, 2] - sdepth))
+            jnp.exp(g.sun.exponential_factor * (sp[2] - sdepth))
             ** g.sun.darkening_factor, 0.0, 1.0)
     else:
         sun_shadow = jnp.ones_like(d)
 
-    direct_scalar = (jnp.maximum(0.0, nrm @ (-g.sun.direction))
-                     * sun_shadow)
-    direct = jnp.broadcast_to(direct_scalar[:, None], alb.shape)
-
-    direct = direct + _point_lights(g, alb, nrm, position)
-    direct = direct + _spot_lights(g, alb, nrm, position)
+    direct_s = jnp.maximum(0.0, dot3(nrm, -g.sun.direction[:, None])) \
+        * sun_shadow
+    direct = jnp.broadcast_to(direct_s[None, :], alb.shape)
+    direct = direct + _local_lights(g, alb, nrm, position)
 
     # --- volumetric light (computed-then-zeroed in the reference)
     if enable_volumetric and shadow_map is not None:
         spv = g.sun.projection_view
-        cam4 = jnp.concatenate([g.camera.position, jnp.ones(1)], 0)
-        scp = spv @ cam4
-        scp = scp[:3] / jnp.where(scp[3] != 0, scp[3], 1.0)
-        V = proj - scp[None, :]
-        step_len = jnp.linalg.norm(V, axis=-1, keepdims=True) / 2.0
-        Vn = V / jnp.maximum(jnp.linalg.norm(V, axis=-1, keepdims=True), 1e-8)
-        step = Vn * step_len
-        xi = (uv[:, 0] * W).astype(jnp.int32) % 4
-        yi = (uv[:, 1] * H).astype(jnp.int32) % 4
+        sp, _ = _project(spv, position)
+        cam4 = jnp.concatenate([g.camera.position, jnp.ones(1)])
+        scp4 = spv @ cam4
+        scp = scp4[:3] / jnp.where(scp4[3] != 0, scp4[3], 1.0)
+        V = sp - scp[:, None]
+        step_len = jnp.sqrt(jnp.maximum(dot3(V, V), 1e-12)) / 2.0
+        Vn = normalize3(V)
+        step = Vn * step_len[None, :]
+        xi = (uv[0] * W).astype(jnp.int32) % 4
+        yi = (uv[1] * H).astype(jnp.int32) % 4
         dither = DITHER_PATTERN[xi, yi]
         accum = jnp.zeros_like(d)
         for i in range(2):  # NUM_STEPS_INT = 2
-            pstep = scp[None, :] + step * float(i) + dither[:, None] * step
+            pstep = scp[:, None] + step * float(i) + dither[None, :] * step
             accum += sampling.sample_shadow_cmp(
-                shadow_map, pstep[:, :2] * 0.5 + 0.5, pstep[:, 2])
-        vdir = position - g.camera.position[None, :]
-        vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True),
-                                  1e-8)
-        vol = (accum / 2.0) * _henyey_greenstein(vdir @ (-g.sun.direction))
-        volumetric = vol[:, None]
+                shadow_map,
+                jnp.stack([pstep[0] * 0.5 + 0.5, pstep[1] * 0.5 + 0.5]),
+                pstep[2])
+        vdir = normalize3(position - g.camera.position[:, None])
+        vol = (accum / 2.0) * _henyey_greenstein(
+            dot3(vdir, -g.sun.direction[:, None]))
+        volumetric = vol[None, :]
     else:
-        volumetric = jnp.zeros((1, 1), jnp.float32)
+        volumetric = jnp.float32(0.0)
 
-    color = ((direct + g.ambient[None, :]) * alb * occ[:, None]
+    color = ((direct + g.ambient[:, None]) * alb * occ[None, :]
              + volumetric + emi)
 
     if clouds is not None:
-        sky = clouds.reshape(3, -1).T
-        color = jnp.where((d == 1.0)[:, None], sky, color)
+        sky = clouds.reshape(3, -1)
+        color = jnp.where((d == 1.0)[None, :], sky, color)
 
-    return color.T.reshape(3, H, W)
+    return color.reshape(3, H, W)

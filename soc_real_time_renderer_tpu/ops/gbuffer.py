@@ -5,7 +5,9 @@ Implements the fragment-shader half of the reference's G-buffer pass
 as a deferred full-screen op over the visibility buffer, built for the
 measured TPU cost model (PERF.md): each pixel performs exactly ONE fat
 record gather (everything its triangle carries) plus 1/4/8 packed
-texture-tap gathers depending on the filter mode.
+texture-tap gathers depending on the filter mode, and ALL vector math
+is planar (components on the leading axis — (N, 3) layouts waste 42x on
+TPU lane padding).
 
 Reference semantics preserved:
 
@@ -18,6 +20,8 @@ Reference semantics preserved:
   (``:219-224``);
 * velocity = current NDC uv - previous NDC uv, previous camera x
   current transform (``:226-229``);
+* terrain fragments (``draw_terrain.inl:203-221``): normal map used
+  directly as the world normal, velocity = 0;
 * sky clear colour (0.2, 0.4, 1.0) on no-hit pixels (``:80``).
 """
 from __future__ import annotations
@@ -28,7 +32,9 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .raster import TriangleSetup, VisibilityBuffer
+from ..utils.vec import cross3, normalize3
+from .raster2 import PlanarSetup
+from .raster import VisibilityBuffer
 
 SKY_CLEAR = (0.2, 0.4, 1.0)  # g_buffer_generation.inl:80
 
@@ -52,19 +58,21 @@ class GBuffer:
     depth: jax.Array                # (H, W)
 
 
-def build_shading_records(setup: TriangleSetup, world_pos, world_nrm,
+def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
                           tri_uv, static_rows):
     """(40, T+1) per-triangle shading records (one gather per pixel).
 
-    rows: [adj 9 | wpos 9 | wnrm 9 | uv 6 | material_id, has_normal,
-    has_mr, has_emissive, is_terrain | 2 pad].  Column T = sentinel.
+    world_pos/world_nrm: (3 verts, 3 xyz, T); tri_uv: (3 verts, 2, T);
+    static_rows: (5, T).  rows: [adj 9 | wpos 9 | wnrm 9 | uv 6 |
+    material_id, has_normal, has_mr, has_emissive, is_terrain | 2 pad].
+    Column T = sentinel.
     """
-    T = setup.coeffs.shape[0]
+    T = setup.adj.shape[1]
     rec = jnp.concatenate([
-        setup.coeffs.reshape(T, 9).T,
-        world_pos.reshape(T, 9).T,
-        world_nrm.reshape(T, 9).T,
-        tri_uv.reshape(T, 6).T,
+        setup.adj,
+        world_pos.reshape(9, T),
+        world_nrm.reshape(9, T),
+        tri_uv.reshape(6, T),
         static_rows,
         jnp.zeros((2, T), jnp.float32),
     ], axis=0)
@@ -81,8 +89,8 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
                         filter_mode: str = "bilinear"):
     """Sample all 4 material textures at once from the packed atlas.
 
-    atlas: (16, N) uint8; mid: (P,) int32; uv: (P, 2); lod: (P,).
-    Returns (P, 16) float32 in [0, 1] (rows as pack_material_atlas).
+    atlas: (16, N) uint8; mid: (P,) int32; uv: (2, P); lod: (P,).
+    Returns (16, P) float32 in [0, 1] (rows as pack_material_atlas).
     level_off(l) = (4S² - 4(S>>l)²)/3 — arithmetic, no table gathers.
     """
     uvw = uv - jnp.floor(uv)
@@ -91,12 +99,12 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
     def level_fetch(l, bilinear):
         s = jnp.right_shift(jnp.int32(size), l)
         off = (4 * size * size - 4 * s * s) // 3
-        x = uvw[:, 0] * s.astype(jnp.float32) - 0.5
-        y = uvw[:, 1] * s.astype(jnp.float32) - 0.5
+        x = uvw[0] * s.astype(jnp.float32) - 0.5
+        y = uvw[1] * s.astype(jnp.float32) - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        fx = (x - x0)[:, None]
-        fy = (y - y0)[:, None]
+        fx = x - x0
+        fy = y - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
@@ -104,7 +112,7 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
             xw = jnp.remainder(xi, s)
             yw = jnp.remainder(yi, s)
             idx = base_m + off + yw * s + xw
-            return atlas[:, idx].T.astype(jnp.float32) / 255.0  # (P, 16)
+            return atlas[:, idx].astype(jnp.float32) / 255.0   # (16, P)
 
         if not bilinear:
             return tap(jnp.round(x).astype(jnp.int32),
@@ -121,10 +129,9 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
         return level_fetch(jnp.round(lod).astype(jnp.int32), bilinear=False)
     if filter_mode == "bilinear":
         return level_fetch(jnp.round(lod).astype(jnp.int32), bilinear=True)
-    # trilinear
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_levels - 1)
-    f = (lod - l0.astype(jnp.float32))[:, None]
+    f = lod - l0.astype(jnp.float32)
     return level_fetch(l0, True) * (1 - f) + level_fetch(l1, True) * f
 
 
@@ -149,95 +156,99 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     # edge values + derivatives (de/dx = adj col 0, de/dy = col 1)
     e = jnp.stack([rec[0] * px + rec[1] * py + rec[2],
                    rec[3] * px + rec[4] * py + rec[5],
-                   rec[6] * px + rec[7] * py + rec[8]], axis=0)  # (3, P)
-    ex = jnp.stack([rec[0], rec[3], rec[6]], axis=0)
-    ey = jnp.stack([rec[1], rec[4], rec[7]], axis=0)
-    D = jnp.sum(e, 0)
-    Dx = jnp.sum(ex, 0)
-    Dy = jnp.sum(ey, 0)
+                   rec[6] * px + rec[7] * py + rec[8]])   # (3, P)
+    ex = jnp.stack([rec[0], rec[3], rec[6]])
+    ey = jnp.stack([rec[1], rec[4], rec[7]])
+    D = e[0] + e[1] + e[2]
+    Dx = ex[0] + ex[1] + ex[2]
+    Dy = ey[0] + ey[1] + ey[2]
     invD = 1.0 / jnp.where(D != 0, D, 1.0)
 
-    def interp(rows):  # rows: (3, P) per-vertex attr -> value + d/dx,d/dy
-        N = jnp.sum(e * rows, 0)
-        Nx = jnp.sum(ex * rows, 0)
-        Ny = jnp.sum(ey * rows, 0)
+    def interp(r0, r1, r2):
+        """Perspective-correct value + d/dx + d/dy for a per-vertex
+        attribute given its three rows (P,)."""
+        N = e[0] * r0 + e[1] * r1 + e[2] * r2
+        Nx = ex[0] * r0 + ex[1] * r1 + ex[2] * r2
+        Ny = ey[0] * r0 + ey[1] * r1 + ey[2] * r2
         val = N * invD
         return val, (Nx - val * Dx) * invD, (Ny - val * Dy) * invD
 
-    wpos = rec[9:18].reshape(3, 3, -1)    # (vertex, xyz, P)
-    wnrm = rec[18:27].reshape(3, 3, -1)
-    uvs = rec[27:33].reshape(3, 2, -1)
+    def interp3(base):
+        """rows base+{0..8} hold vertex-major (v, c) attrs: row = base +
+        v*3 + c.  Returns ((3, P) value, (3, P) ddx, (3, P) ddy)."""
+        vals, dxs, dys = [], [], []
+        for c in range(3):
+            v, dx, dy = interp(rec[base + c], rec[base + 3 + c],
+                               rec[base + 6 + c])
+            vals.append(v)
+            dxs.append(dx)
+            dys.append(dy)
+        return jnp.stack(vals), jnp.stack(dxs), jnp.stack(dys)
 
-    pos = jnp.stack([interp(wpos[:, c])[0] for c in range(3)], -1)  # (P,3)
-    pos_dx = jnp.stack([interp(wpos[:, c])[1] for c in range(3)], -1)
-    pos_dy = jnp.stack([interp(wpos[:, c])[2] for c in range(3)], -1)
-    nrm = jnp.stack([interp(wnrm[:, c])[0] for c in range(3)], -1)
-    uv_v, uv_dx, uv_dy = zip(*(interp(uvs[:, c]) for c in range(2)))
-    uv = jnp.stack(uv_v, -1)
-    duv_dx = jnp.stack(uv_dx, -1)
-    duv_dy = jnp.stack(uv_dy, -1)
+    pos, pos_dx, pos_dy = interp3(9)
+    nrm, _, _ = interp3(18)
+    uv_u, du_dx, du_dy = interp(rec[27], rec[29], rec[31])
+    uv_v, dv_dx, dv_dy = interp(rec[28], rec[30], rec[32])
+    uv = jnp.stack([uv_u, uv_v])                     # (2, P)
 
     mid = rec[33].astype(jnp.int32)
-    has_n = rec[34][:, None]
-    has_mr = rec[35][:, None]
-    has_e = rec[36][:, None]
-    is_ter = rec[37][:, None]
+    has_n = rec[34]
+    has_mr = rec[35]
+    has_e = rec[36]
+    is_ter = rec[37]
 
-    lod_sq = jnp.maximum(jnp.sum(duv_dx ** 2, -1),
-                         jnp.sum(duv_dy ** 2, -1)) * (atlas_size ** 2)
+    lod_sq = jnp.maximum(du_dx ** 2 + dv_dx ** 2,
+                         du_dy ** 2 + dv_dy ** 2) * (atlas_size ** 2)
     lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
 
     tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
                               layer_stride=layer_stride, n_levels=n_levels,
-                              filter_mode=filter_mode)     # (P, 16)
-    albedo_t = _srgb_to_linear(tex[:, 0:3])
-    normal_t = tex[:, 4:7]
-    mr_t = tex[:, 8:12]
-    emissive_t = _srgb_to_linear(tex[:, 12:15])
+                              filter_mode=filter_mode)     # (16, P)
+    albedo_t = _srgb_to_linear(tex[0:3])
+    normal_t = tex[4:7]
+    mr_t = tex[8:12]
+    emissive_t = _srgb_to_linear(tex[12:15])
 
     emissive = emissive_t * has_e
     albedo = albedo_t + emissive                       # inl:194
-    mr = jnp.stack([mr_t[:, 1], mr_t[:, 2]], -1) * has_mr
+    mr = jnp.stack([mr_t[1], mr_t[2]]) * has_mr
 
     # normal mapping (inl:198-213)
-    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+    n = normalize3(nrm)
     tn = normal_t * 2.0 - 1.0
-    tvec = pos_dx * duv_dy[:, 1:2] - pos_dy * duv_dx[:, 1:2]
-    tvec = tvec / jnp.maximum(jnp.linalg.norm(tvec, axis=-1, keepdims=True),
-                              1e-8)
-    bvec = jnp.cross(n, tvec)
-    bvec = bvec / jnp.maximum(jnp.linalg.norm(bvec, axis=-1, keepdims=True),
-                              1e-8)
-    mapped = tvec * tn[:, 0:1] + bvec * tn[:, 1:2] + n * tn[:, 2:3]
-    mapped = mapped / jnp.maximum(
-        jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-8)
+    tvec = normalize3(pos_dx * dv_dy - pos_dy * dv_dx)
+    bvec = normalize3(cross3(n, tvec))
+    mapped = normalize3(tvec * tn[0] + bvec * tn[1] + n * tn[2])
     normal = mapped * has_n + n * (1.0 - has_n)
-    # terrain path (draw_terrain.inl:203-221): the normal map IS the
-    # world normal (decoded), no TBN
-    ter_n = tn / jnp.maximum(jnp.linalg.norm(tn, axis=-1, keepdims=True),
-                             1e-8)
-    normal = ter_n * is_ter + normal * (1.0 - is_ter)
+    # terrain path: the normal map IS the world normal (decoded), no TBN
+    normal = normalize3(tn) * is_ter + normal * (1.0 - is_ter)
 
     # velocity (inl:226-229)
-    cur_uv = jnp.stack([px / W, py / H], -1)
-    pc = pos @ prev_view_proj[:3, :3].T + prev_view_proj[:3, 3]
-    pw = pos @ prev_view_proj[3, :3].T + prev_view_proj[3, 3]
-    prev_ndc = pc[:, :2] / jnp.where(pw[:, None] != 0, pw[:, None], 1.0)
-    prev_uv = prev_ndc * 0.5 + 0.5
-    velocity = cur_uv - prev_uv
-    velocity = velocity * (1.0 - is_ter)   # terrain velocity = 0 (:220)
+    cur_u = px / W
+    cur_v = py / H
+    pc_x = (prev_view_proj[0, 0] * pos[0] + prev_view_proj[0, 1] * pos[1]
+            + prev_view_proj[0, 2] * pos[2] + prev_view_proj[0, 3])
+    pc_y = (prev_view_proj[1, 0] * pos[0] + prev_view_proj[1, 1] * pos[1]
+            + prev_view_proj[1, 2] * pos[2] + prev_view_proj[1, 3])
+    pc_w = (prev_view_proj[3, 0] * pos[0] + prev_view_proj[3, 1] * pos[1]
+            + prev_view_proj[3, 2] * pos[2] + prev_view_proj[3, 3])
+    wsafe = jnp.where(pc_w != 0, pc_w, 1.0)
+    vel_u = cur_u - (pc_x / wsafe * 0.5 + 0.5)
+    vel_v = cur_v - (pc_y / wsafe * 0.5 + 0.5)
+    not_ter = 1.0 - is_ter                 # terrain velocity = 0 (:220)
+    velocity = jnp.stack([vel_u, vel_v]) * not_ter
 
-    sky = jnp.array(SKY_CLEAR, jnp.float32)
-    albedo = jnp.where(miss[:, None], sky, albedo)
-    emissive = jnp.where(miss[:, None], 0.0, emissive)
-    normal = jnp.where(miss[:, None], 0.0, normal)
-    mr = jnp.where(miss[:, None], 0.0, mr)
-    velocity = jnp.where(miss[:, None], 0.0, velocity)
+    live = (~miss).astype(jnp.float32)
+    sky = jnp.array(SKY_CLEAR, jnp.float32)[:, None]
+    albedo = albedo * live + sky * (1.0 - live)
+    emissive = emissive * live
+    normal = normal * live
+    mr = mr * live
+    velocity = velocity * live
 
-    def plane(x, ch):
-        return x.T.reshape(ch, H, W)
+    def plane(x):
+        return x.reshape(x.shape[0], H, W)
 
-    return GBuffer(albedo=plane(albedo, 3), emissive=plane(emissive, 3),
-                   normal=plane(normal, 3),
-                   metallic_roughness=plane(mr, 2),
-                   velocity=plane(velocity, 2), depth=vis.depth)
+    return GBuffer(albedo=plane(albedo), emissive=plane(emissive),
+                   normal=plane(normal), metallic_roughness=plane(mr),
+                   velocity=plane(velocity), depth=vis.depth)

@@ -40,11 +40,81 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raster import TriangleSetup, VisibilityBuffer, triangle_setup
+from .raster import VisibilityBuffer
+
+W_EPS = 1e-6
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+@dataclass(frozen=True)
+class PlanarSetup:
+    """Planar per-triangle raster data — everything (rows, T) so T rides
+    the TPU lane dimension (PERF.md layout rule)."""
+    adj: jax.Array     # (9, T) adjugate rows * facing sign
+    zs: jax.Array      # (3, T) per-vertex clip z
+    ws: jax.Array      # (3, T) per-vertex clip w
+    bbox: jax.Array    # (4, T): x0, y0, x1, y1 (px, x1/y1 exclusive)
+    valid: jax.Array   # (T,)
+
+
+jax.tree_util.register_dataclass(
+    PlanarSetup, data_fields=["adj", "zs", "ws", "bbox", "valid"],
+    meta_fields=[])
+
+
+def triangle_setup_planar(clip, width, height, cull: str = "front"
+                          ) -> PlanarSetup:
+    """clip: (3 verts, 4 comps, T) planar clip positions.
+
+    Same math as ops/raster.triangle_setup (homogeneous adjugate
+    coverage; docstring there) in the lane-friendly layout.
+    """
+    w = clip[:, 3]                                     # (3, T)
+    X = (clip[:, 0] * 0.5 + 0.5 * w) * width
+    Y = (clip[:, 1] * 0.5 + 0.5 * w) * height
+    z = clip[:, 2]
+    a, b, c = X[0], X[1], X[2]
+    d, e, f = Y[0], Y[1], Y[2]
+    g, h, i = w[0], w[1], w[2]
+    r0 = (e * i - f * h, c * h - b * i, b * f - c * e)
+    r1 = (f * g - d * i, a * i - c * g, c * d - a * f)
+    r2 = (d * h - e * g, b * g - a * h, a * e - b * d)
+    det = a * r0[0] + b * r1[0] + c * r2[0]
+
+    if cull == "front":
+        keep = det < 0
+        s = jnp.where(keep, -1.0, 0.0)
+    elif cull == "back":
+        keep = det > 0
+        s = jnp.where(keep, 1.0, 0.0)
+    else:
+        keep = det != 0
+        s = jnp.sign(det)
+    adj = jnp.stack(r0 + r1 + r2) * s[None, :]         # (9, T)
+
+    w_ok = jnp.all(w > W_EPS, axis=0)
+    wsafe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
+    px = X / wsafe
+    py = Y / wsafe
+    x0 = jnp.where(w_ok, jnp.min(px, 0), 0.0)
+    x1 = jnp.where(w_ok, jnp.max(px, 0), jnp.float32(width))
+    y0 = jnp.where(w_ok, jnp.min(py, 0), 0.0)
+    y1 = jnp.where(w_ok, jnp.max(py, 0), jnp.float32(height))
+    x0 = jnp.clip(jnp.floor(x0), 0, width)
+    y0 = jnp.clip(jnp.floor(y0), 0, height)
+    x1 = jnp.clip(jnp.ceil(x1) + 1.0, 0, width)
+    y1 = jnp.clip(jnp.ceil(y1) + 1.0, 0, height)
+    bbox = jnp.stack([x0, y0, x1, y1])
+
+    zndc = z / wsafe
+    z_ok = jnp.where(w_ok,
+                     ~(jnp.all(zndc < 0.0, 0) | jnp.all(zndc > 1.0, 0)),
+                     True)
+    valid = keep & (x1 > x0) & (y1 > y0) & z_ok & (det != 0)
+    return PlanarSetup(adj=adj, zs=z, ws=w, bbox=bbox, valid=valid)
 
 
 @dataclass(frozen=True)
@@ -94,26 +164,25 @@ def default_grid(width, height, scale="scene"):
 # ---------------------------------------------------------------------------
 
 
-def build_records(setup: TriangleSetup) -> jax.Array:
+def build_records(setup: PlanarSetup) -> jax.Array:
     """(16, T+1) resolve records; column T is an always-miss sentinel."""
-    T = setup.coeffs.shape[0]
-    adj = setup.coeffs.reshape(T, 9).T            # (9, T)
+    T = setup.adj.shape[1]
     # ids stored as exact float VALUES (not bitcasts: id bit patterns
     # are denormals that TPU arithmetic flushes to zero)
     ids = jnp.arange(T, dtype=jnp.float32)[None, :]
-    rec = jnp.concatenate([adj, setup.zs.T, setup.ws.T, ids], axis=0)
+    rec = jnp.concatenate([setup.adj, setup.zs, setup.ws, ids], axis=0)
     sentinel = jnp.zeros((16, 1), jnp.float32)
     return jnp.concatenate([rec, sentinel], axis=1)
 
 
-def build_pairs(setup: TriangleSetup, grid: BinGrid):
+def build_pairs(setup: PlanarSetup, grid: BinGrid):
     """Returns (starts (B+1,) i32 clamped to pair_cap, sorted_tids
     (S,) i32) where S = 4T + med_cap*med_slots."""
-    T = setup.bbox.shape[0]
+    T = setup.adj.shape[1]
     bs = grid.bin_size
     BX, BY, B = grid.bx, grid.by, grid.num_bins
 
-    x0, y0, x1, y1 = (setup.bbox[:, i] for i in range(4))
+    x0, y0, x1, y1 = (setup.bbox[i] for i in range(4))
     bx0 = jnp.clip((x0 // bs).astype(jnp.int32), 0, BX - 1)
     by0 = jnp.clip((y0 // bs).astype(jnp.int32), 0, BY - 1)
     bx1 = jnp.clip(((x1 - 1.0) // bs).astype(jnp.int32), 0, BX - 1)
@@ -123,33 +192,31 @@ def build_pairs(setup: TriangleSetup, grid: BinGrid):
     nb = w * h
     valid = setup.valid
 
-    def slot_keys(ids, bx0g, by0g, wg, hg, n_slots):
-        """ids (N,); emits (N, n_slots) bin keys (B = invalid)."""
-        s = jnp.arange(n_slots, dtype=jnp.int32)[None, :]
-        dx = s % wg[:, None]
-        dy = s // wg[:, None]
-        ok = dy < hg[:, None]
-        key = (by0g[:, None] + dy) * BX + bx0g[:, None] + dx
+    def slot_keys(bx0g, by0g, wg, hg, n_slots):
+        """emits (n_slots, N) bin keys (B = invalid)."""
+        s = jnp.arange(n_slots, dtype=jnp.int32)[:, None]
+        dx = s % wg[None, :]
+        dy = s // wg[None, :]
+        ok = dy < hg[None, :]
+        key = (by0g[None, :] + dy) * BX + bx0g[None, :] + dx
         return jnp.where(ok, key, B)
 
     tri_ids = jnp.arange(T, dtype=jnp.int32)
     small = valid & (nb <= 4)
-    k_small = slot_keys(tri_ids, bx0, by0, w, h, 4)
-    k_small = jnp.where(small[:, None], k_small, B)
+    k_small = jnp.where(small[None, :], slot_keys(bx0, by0, w, h, 4), B)
 
     med = valid & (nb > 4)
     med_ids = jnp.nonzero(med, size=grid.med_cap, fill_value=T)[0]
     mi = jnp.minimum(med_ids, T - 1)
-    m_ok = (med_ids < T)[:, None]
-    k_med = slot_keys(med_ids, bx0[mi], by0[mi], w[mi], h[mi],
-                      grid.med_slots)
+    m_ok = (med_ids < T)[None, :]
+    k_med = slot_keys(bx0[mi], by0[mi], w[mi], h[mi], grid.med_slots)
     k_med = jnp.where(m_ok, k_med, B)
 
     keys = jnp.concatenate([k_small.reshape(-1), k_med.reshape(-1)])
     tids = jnp.concatenate([
-        jnp.broadcast_to(tri_ids[:, None], (T, 4)).reshape(-1),
-        jnp.broadcast_to(med_ids[:, None],
-                         (grid.med_cap, grid.med_slots)).reshape(-1)])
+        jnp.broadcast_to(tri_ids[None, :], (4, T)).reshape(-1),
+        jnp.broadcast_to(med_ids[None, :],
+                         (grid.med_slots, grid.med_cap)).reshape(-1)])
     sk, st = jax.lax.sort((keys, tids), num_keys=1)
     starts = jnp.searchsorted(sk, jnp.arange(B + 1, dtype=jnp.int32))
     starts = jnp.minimum(starts, grid.pair_cap).astype(jnp.int32)
@@ -267,14 +334,14 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False
 
 def rasterize(clip, grid: BinGrid, cull: str = "front",
               interpret: bool | None = None
-              ) -> tuple[VisibilityBuffer, TriangleSetup]:
-    """Full raster: clip (T, 3, 4) per-triangle clip positions (the
-    load-time-expanded layout, models/scene_batch.py) -> visibility.
+              ) -> tuple[VisibilityBuffer, PlanarSetup]:
+    """Full raster: clip (3 verts, 4 comps, T) planar clip positions
+    (models/scene_batch.py layout) -> visibility buffer.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    T = clip.shape[0]
-    setup = triangle_setup(clip, None, grid.width, grid.height, cull)
+    T = clip.shape[2]
+    setup = triangle_setup_planar(clip, grid.width, grid.height, cull)
     starts, sorted_tids = build_pairs(setup, grid)
     records = build_records(setup)
     recs = records[:, jnp.minimum(sorted_tids[:grid.pair_cap], T)]

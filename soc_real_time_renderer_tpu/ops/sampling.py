@@ -1,100 +1,64 @@
-"""Texture/image sampling ops (the sampler-object replacement).
+"""Image sampling ops (the sampler-object replacement).
 
 The reference binds Vulkan samplers per texture (linear+aniso16 repeat
 for materials, ``texture.cpp:100-117``; linear clamp for screen passes;
 a comparison sampler for shadows, ``renderer.cpp:54-69``).  Here each
-sampler becomes a pure gather-based function:
+sampler becomes a pure gather-based function in PLANAR layout
+(components on leading axes, see PERF.md):
 
-* :func:`sample_atlas_trilinear` — bilinear + mip lerp from the packed
-  scene atlas (:class:`..models.texture.TextureAtlas`), repeat
-  addressing.  Anisotropy is approximated by trilinear (documented
-  deviation; SURVEY.md §7 hard part (b)).
 * :func:`sample_screen` — bilinear/nearest from planar (C, H, W) images
-  with clamp-to-edge, uv in [0, 1]: the full-screen-pass sampler.
+  with clamp-to-edge; uv is (2, ...) planar.  The full-screen-pass
+  sampler (material textures use the packed atlas in ops/gbuffer.py).
+* :func:`shift` — constant-offset resampling for fixed-tap filters
+  (blurs, TAA neighbourhoods): pure pad+slice, NO gathers.
 * :func:`sample_shadow_cmp` — 2x2 bilinear-of-comparisons with LESS op
-  and opaque-white border, matching the shadow comparison sampler
-  (``renderer.cpp:54-69``: linear filter, CLAMP_TO_BORDER white,
-  compare LESS).
+  and opaque-white border (``renderer.cpp:54-69``).
+* :func:`grid_uv` — planar (2, H, W) pixel-centre uv grid.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
-def _gather_rgba(flat, idx):
-    """flat: (N, 4); idx: (...,) int32 -> (..., 4) float32."""
-    return flat[idx].astype(jnp.float32)
+def grid_uv(h, w):
+    """(2, h, w) pixel-centre uv in [0,1]."""
+    ux = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    uy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    u = jnp.broadcast_to(ux[None, :], (h, w))
+    v = jnp.broadcast_to(uy[:, None], (h, w))
+    return jnp.stack([u, v])
 
 
-def make_atlas_sampler(size: int, level_offsets: tuple, layer_stride: int):
-    """Returns fn(flat, layer, uv, lod) -> (..., 4) linear-space RGBA.
-
-    size/level_offsets/layer_stride are static (baked into the jitted
-    graph); flat is the device-resident (N, 4) texel array.
-    """
-    n_levels = len(level_offsets)
-    offsets_t = jnp.array(level_offsets, jnp.int32)
-    sizes_t = jnp.array([size >> k for k in range(n_levels)], jnp.int32)
-
-    def bilinear(flat, base, s, uv):
-        """One level: base (...,) flat start of the level; s (...,) level
-        size; uv (..., 2) in [0,1) repeat space."""
-        x = uv[..., 0] * s.astype(jnp.float32) - 0.5
-        y = uv[..., 1] * s.astype(jnp.float32) - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = (x - x0)[..., None]
-        fy = (y - y0)[..., None]
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        xw0 = jnp.remainder(x0i, s)
-        xw1 = jnp.remainder(x0i + 1, s)
-        yw0 = jnp.remainder(y0i, s)
-        yw1 = jnp.remainder(y0i + 1, s)
-        i00 = base + yw0 * s + xw0
-        i10 = base + yw0 * s + xw1
-        i01 = base + yw1 * s + xw0
-        i11 = base + yw1 * s + xw1
-        c00 = _gather_rgba(flat, i00)
-        c10 = _gather_rgba(flat, i10)
-        c01 = _gather_rgba(flat, i01)
-        c11 = _gather_rgba(flat, i11)
-        top = c00 * (1 - fx) + c10 * fx
-        bot = c01 * (1 - fx) + c11 * fx
-        return top * (1 - fy) + bot * fy
-
-    def sample(flat, layer, uv, lod):
-        uv = uv - jnp.floor(uv)          # repeat addressing
-        lod = jnp.clip(lod, 0.0, float(n_levels - 1))
-        l0 = jnp.floor(lod).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, n_levels - 1)
-        f = (lod - l0.astype(jnp.float32))[..., None]
-        lay = layer.astype(jnp.int32) * layer_stride
-        c0 = bilinear(flat, lay + offsets_t[l0], sizes_t[l0], uv)
-        c1 = bilinear(flat, lay + offsets_t[l1], sizes_t[l1], uv)
-        return c0 * (1 - f) + c1 * f
-
-    return sample
+def shift(img, dx: int, dy: int):
+    """Clamp-to-edge integer shift of (..., H, W): out(y, x) =
+    img(clamp(y + dy), clamp(x + dx)) — pure pad+slice, the gather-free
+    path for fixed-tap filters."""
+    H, W = img.shape[-2:]
+    pads = [(0, 0)] * (img.ndim - 2) + [(max(-dy, 0), max(dy, 0)),
+                                        (max(-dx, 0), max(dx, 0))]
+    p = jnp.pad(img, pads, mode="edge")
+    ys = max(-dy, 0) + dy   # start row in padded array
+    xs = max(-dx, 0) + dx
+    slices = tuple([slice(None)] * (img.ndim - 2)
+                   + [slice(ys, ys + H), slice(xs, xs + W)])
+    return p[slices]
 
 
 def sample_screen(img, uv, method: str = "linear"):
-    """Sample planar image at uv in [0,1] with clamp-to-edge.
+    """Sample planar image at planar uv with clamp-to-edge.
 
-    img: (C, H, W) or (H, W); uv: (..., 2).  Returns (..., C) / (...,).
-    Matches a Vulkan linear-clamp sampler on a full-res target.
+    img: (C, H, W) or (H, W); uv: (2, ...).  Returns (C, ...) / (...).
     """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[None]
     C, H, W = img.shape
-    x = uv[..., 0] * W - 0.5
-    y = uv[..., 1] * H - 0.5
+    x = uv[0] * W - 0.5
+    y = uv[1] * H - 0.5
     if method == "nearest":
         xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
         out = img[:, yi, xi]
-        out = jnp.moveaxis(out, 0, -1)
     else:
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
@@ -110,23 +74,54 @@ def sample_screen(img, uv, method: str = "linear"):
         c11 = img[:, y1i, x1i]
         top = c00 * (1 - fx) + c10 * fx
         bot = c01 * (1 - fx) + c11 * fx
-        out = jnp.moveaxis(top * (1 - fy) + bot * fy, 0, -1)
+        out = top * (1 - fy) + bot * fy
     if squeeze:
-        out = out[..., 0]
+        out = out[0]
     return out
+
+
+def resize_half(img):
+    """(C, H, W) -> (C, H/2, W/2) by 2x2 mean (gather-free)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    C, H, W = img.shape
+    out = img[:, :H // 2 * 2, :W // 2 * 2].reshape(
+        C, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    return out[0] if squeeze else out
+
+
+def upsample_bilinear(img, oh, ow):
+    """(C, h, w) -> (C, oh, ow) bilinear — separable, gather-free for
+    integer factors (uses 1-D index arithmetic on each axis)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    C, H, W = img.shape
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * H / oh - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * W / ow - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[None, :, None]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[None, None, :]
+    a = img[:, y0][:, :, x0] * (1 - fx) + img[:, y0][:, :, x1] * fx
+    b = img[:, y1][:, :, x0] * (1 - fx) + img[:, y1][:, :, x1] * fx
+    out = a * (1 - fy) + b * fy
+    return out[0] if squeeze else out
 
 
 def sample_shadow_cmp(shadow, uv, ref, border: float = 1.0):
     """Comparison-sampler shadow fetch (renderer.cpp:54-69).
 
-    shadow: (S, S) depth map; uv: (..., 2); ref: (...,) reference depth.
-    Returns (...,) in [0,1]: bilinear blend of per-texel (ref < depth)
-    tests, out-of-range texels reading the opaque-white border (compare
-    against `border` depth -> lit).
+    shadow: (S, S) depth; uv: (2, ...); ref: (...,).  Returns (...)
+    in [0,1]: bilinear blend of per-texel (ref < depth) tests;
+    out-of-range texels read the opaque-white border.
     """
     S = shadow.shape[-1]
-    x = uv[..., 0] * S - 0.5
-    y = uv[..., 1] * S - 0.5
+    x = uv[0] * S - 0.5
+    y = uv[1] * S - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -138,8 +133,7 @@ def sample_shadow_cmp(shadow, uv, ref, border: float = 1.0):
         inside = (xi >= 0) & (xi < S) & (yi >= 0) & (yi < S)
         xs = jnp.clip(xi, 0, S - 1)
         ys = jnp.clip(yi, 0, S - 1)
-        d = shadow[ys, xs]
-        d = jnp.where(inside, d, border)
+        d = jnp.where(inside, shadow[ys, xs], border)
         return (ref < d).astype(jnp.float32)
 
     t00 = fetch(x0i, y0i)

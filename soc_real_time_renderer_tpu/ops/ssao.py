@@ -42,96 +42,96 @@ KERNEL = jnp.array([  # ssao_generation.inl:76-103 (26 samples)
     [0.2448421, -0.1610962, 0.1289366]], jnp.float32)
 
 
-def _rand(c):
-    """ssao_generation.inl:139-141."""
-    return jnp.mod(jnp.sin(c[..., 0] * 12.9898 + c[..., 1] * 78.233)
-                   * 43758.5453, 1.0)
+def _rand(cu, cv):
+    """ssao_generation.inl:139-141 (planar components)."""
+    return jnp.mod(jnp.sin(cu * 12.9898 + cv * 78.233) * 43758.5453, 1.0)
 
 
-def _noise(p, freq):
-    """Value noise, ssao_generation.inl:143-156."""
+def _noise(u, v, freq):
+    """Value noise, ssao_generation.inl:143-156 (planar components)."""
     unit = 2560.0 / freq
-    ij = jnp.floor(p / unit)
-    xy = jnp.mod(p, unit) / unit
-    xy = 0.5 * (1.0 - jnp.cos(jnp.pi * xy))
-    a = _rand(ij)
-    b = _rand(ij + jnp.array([1.0, 0.0]))
-    c = _rand(ij + jnp.array([0.0, 1.0]))
-    d = _rand(ij + jnp.array([1.0, 1.0]))
-    x1 = a + (b - a) * xy[..., 0]
-    x2 = c + (d - c) * xy[..., 0]
-    return x1 + (x2 - x1) * xy[..., 1]
-
-
-def _view_from_depth(uv, depth, inv_projection):
-    ndc = uv * 2.0 - 1.0
-    clip = jnp.stack([ndc[..., 0], ndc[..., 1], depth,
-                      jnp.ones_like(depth)], -1)
-    view = clip @ inv_projection.T
-    return view[..., :3] / jnp.where(view[..., 3:4] != 0, view[..., 3:4], 1.0)
+    iu = jnp.floor(u / unit)
+    iv = jnp.floor(v / unit)
+    xu = jnp.mod(u, unit) / unit
+    xv = jnp.mod(v, unit) / unit
+    xu = 0.5 * (1.0 - jnp.cos(jnp.pi * xu))
+    xv = 0.5 * (1.0 - jnp.cos(jnp.pi * xv))
+    a = _rand(iu, iv)
+    b = _rand(iu + 1.0, iv)
+    c = _rand(iu, iv + 1.0)
+    d = _rand(iu + 1.0, iv + 1.0)
+    x1 = a + (b - a) * xu
+    x2 = c + (d - c) * xu
+    return x1 + (x2 - x1) * xv
 
 
 def ssao_generate(depth, normal, g, kernel_size: int = 26):
     """depth: (H, W) full-res; normal: (3, H, W) full-res world normals;
-    output: (H/2, W/2) occlusion, sampled like the reference's half-res
-    pass over full-res inputs."""
+    output: (H/2, W/2) occlusion (half-res like renderer.cpp:827-831).
+
+    Planar port of ssao_generation.inl:174-214: view-space hemisphere
+    sampling with the hardcoded kernel, procedural-noise random vector,
+    smoothstep range check, occlusion = 1 - sum/kernel_size.
+    """
+    from . import sampling
+    from .composition import view_from_depth
+    from ..utils.vec import dot3, normalize3, cross3
     H, W = depth.shape
     h, w = H // 2, W // 2
-    ux = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    uy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    uv = jnp.stack(jnp.meshgrid(ux, uy, indexing="xy"), -1)  # (h, w, 2)
+    uv = sampling.grid_uv(h, w)                          # (2, h, w)
 
     d = sampling.sample_screen(depth, uv)
-    frag_pos = _view_from_depth(uv, d, g.camera.inv_projection)  # (h, w, 3)
-    n_world = sampling.sample_screen(normal, uv)
-    n_world = n_world / jnp.maximum(
-        jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-8)
+    frag_pos = view_from_depth(uv, d, g.camera.inv_projection)  # (3, h, w)
+    n_world = normalize3(sampling.sample_screen(normal, uv))
     vm = g.camera.view[:3, :3]
-    normal_v = n_world @ vm.T
+    normal_v = jnp.stack([
+        vm[0, 0] * n_world[0] + vm[0, 1] * n_world[1] + vm[0, 2] * n_world[2],
+        vm[1, 0] * n_world[0] + vm[1, 1] * n_world[1] + vm[1, 2] * n_world[2],
+        vm[2, 0] * n_world[0] + vm[2, 1] * n_world[1] + vm[2, 2] * n_world[2]])
 
-    # random vector, ssao_generation.inl:184-192 (noise_dim = normal
-    # image size = full resolution width)
-    rx = _noise(uv, W * 2.0)
-    ry = _noise(uv ** 1.1, jnp.power(W * 4.2, 1.5 + uv[..., 0] / 10.0))
-    rv = jnp.stack([rx, ry, jnp.zeros_like(rx)], -1)
-    rv = rv / jnp.maximum(jnp.linalg.norm(rv, axis=-1, keepdims=True), 1e-8)
+    # random vector (ssao_generation.inl:184-192); noise_dim = full width
+    rx = _noise(uv[0], uv[1], W * 2.0)
+    ry = _noise(uv[0] ** 1.1, uv[1] ** 1.1,
+                jnp.power(W * 4.2, 1.5 + uv[0] / 10.0))
+    rv = jnp.stack([rx, ry, jnp.zeros_like(rx)])
+    rv = normalize3(rv)
 
-    tangent = rv - normal_v * jnp.sum(rv * normal_v, -1, keepdims=True)
-    tangent = tangent / jnp.maximum(
-        jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-8)
-    bitangent = jnp.cross(tangent, normal_v)
+    tangent = normalize3(rv - normal_v * dot3(rv, normal_v)[None])
+    bitangent = cross3(tangent, normal_v)
 
     proj = g.camera.projection
-    occlusion = jnp.zeros((h, w), jnp.float32)
-    for i in range(kernel_size):
-        k = KERNEL[i]
-        sp = (tangent * k[0] + bitangent * k[1] + normal_v * k[2])
+
+    def step(occlusion, k):
+        sp = tangent * k[0] + bitangent * k[1] + normal_v * k[2]
         sample_pos = frag_pos + sp * g.ssao_radius           # view space
-        off = sample_pos @ proj[:3, :3].T + proj[:3, 3]
-        ow = sample_pos @ proj[3, :3].T + proj[3, 3]
-        oxy = off[..., :2] / jnp.where(ow[..., None] != 0, ow[..., None], 1.0)
-        ouv = oxy * 0.5 + 0.5
+        ox = (proj[0, 0] * sample_pos[0] + proj[0, 1] * sample_pos[1]
+              + proj[0, 2] * sample_pos[2] + proj[0, 3])
+        oy = (proj[1, 0] * sample_pos[0] + proj[1, 1] * sample_pos[1]
+              + proj[1, 2] * sample_pos[2] + proj[1, 3])
+        ow = (proj[3, 0] * sample_pos[0] + proj[3, 1] * sample_pos[1]
+              + proj[3, 2] * sample_pos[2] + proj[3, 3])
+        ows = jnp.where(ow != 0, ow, 1.0)
+        ouv = jnp.stack([ox / ows * 0.5 + 0.5, oy / ows * 0.5 + 0.5])
         sd = sampling.sample_screen(depth, ouv)
-        sdv = _view_from_depth(ouv, sd, g.camera.inv_projection)
-        sample_depth = sdv[..., 2]
-        denom = jnp.maximum(jnp.abs(frag_pos[..., 2] - sample_depth), 1e-8)
+        sample_depth = view_from_depth(ouv, sd, g.camera.inv_projection)[2]
+        denom = jnp.maximum(jnp.abs(frag_pos[2] - sample_depth), 1e-8)
         t = jnp.clip(g.ssao_radius / denom, 0.0, 1.0)
         range_check = t * t * (3.0 - 2.0 * t)                # smoothstep
-        hit = (sample_depth >= sample_pos[..., 2] + g.ssao_bias)
-        occlusion = occlusion + hit.astype(jnp.float32) * range_check
+        hit = sample_depth >= sample_pos[2] + g.ssao_bias
+        return occlusion + hit.astype(jnp.float32) * range_check, None
+
+    from jax import lax
+    occlusion, _ = lax.scan(step, jnp.zeros((h, w), jnp.float32),
+                            KERNEL[:kernel_size])
     return 1.0 - occlusion / float(kernel_size)
 
 
 def ssao_blur(ssao):
-    """4x4 box blur, offsets [-2, 1] (ssao_blur.inl:91-105)."""
-    h, w = ssao.shape
-    ux = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    uy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    uv = jnp.stack(jnp.meshgrid(ux, uy, indexing="xy"), -1)
-    tx, ty = 1.0 / w, 1.0 / h
+    """4x4 box blur, offsets [-2, 1] at own-res texel steps
+    (ssao_blur.inl:91-105) — pure shifts."""
+    from . import sampling
     acc = jnp.zeros_like(ssao)
     for x in range(-2, 2):
         for y in range(-2, 2):
-            acc = acc + sampling.sample_screen(
-                ssao, uv + jnp.array([x * tx, y * ty], jnp.float32))
+            acc = acc + sampling.shift(ssao, x, y)
     return acc / 16.0

@@ -1,4 +1,4 @@
-"""Temporal anti-aliasing.
+"""Temporal anti-aliasing (planar, gather-minimal).
 
 Port of ``temporal_antialiasing.inl:120-199``: 3x3 neighbourhood with
 Gaussian-blurred colour and min/max colour AABB, closest-depth velocity
@@ -8,6 +8,13 @@ off-screen), and velocity-disocclusion fallback to the blurred colour.
 
 The copy-image tasks T19 (``renderer.cpp:1182-1198``) become the
 returned (color, velocity) carried in RenderHistory.
+
+TPU shaping: the 3x3 neighbourhood taps are constant-offset shifts
+(pad+slice — zero gathers); the reprojected history fetch packs
+prev_color+prev_velocity into ONE (5, H, W) bilinear gather set.
+
+Reference off-by-one kept: the shader's "color = neighbors[5]" (:173)
+is the (x=+1, y=0) texel, not the centre.
 """
 from __future__ import annotations
 
@@ -25,51 +32,56 @@ def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
     """color/prev_color: (3, H, W); depth: (H, W); velocity/prev_velocity:
     (2, H, W); frame_counter: () int32.  Returns resolved (3, H, W)."""
     H, W = depth.shape
-    ux = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    uy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    uv = jnp.stack(jnp.meshgrid(ux, uy, indexing="xy"), -1)  # (H, W, 2)
-    px = jnp.array([1.0 / W, 1.0 / H], jnp.float32)
+    uv = sampling.grid_uv(H, W)                    # (2, H, W)
 
-    blurred = jnp.zeros((H, W, 3), jnp.float32)
-    min_c = jnp.full((H, W, 3), 1e6, jnp.float32)
-    max_c = jnp.full((H, W, 3), -1e6, jnp.float32)
-    closest_depth = jnp.ones((H, W), jnp.float32)
-    depth_uv = uv
+    blurred = jnp.zeros_like(color)
+    min_c = jnp.full_like(color, 1e6)
+    max_c = jnp.full_like(color, -1e6)
+    closest_depth = jnp.ones_like(depth)
+    dilate_dx = jnp.zeros_like(depth)
+    dilate_dy = jnp.zeros_like(depth)
     center = None
-    # loop order matches the shader (y: 1..-1, x: 1..-1) so the
-    # "closest == depth" update ties resolve identically
+    # loop order matches the shader (y: 1..-1, x: 1..-1): "closest ==
+    # depth" favours the latest minimum
     for y in (1, 0, -1):
         for x in (1, 0, -1):
             index = (y + 1) * 3 + (x + 1)
-            o = uv + jnp.array([x, y], jnp.float32) * px
-            c = sampling.sample_screen(color, o)          # (H, W, 3)
-            d = sampling.sample_screen(depth, o)
-            upd = d <= closest_depth  # min() keeps first-seen on ties;
-            # the shader compares equality after min so <= reproduces it
+            c = sampling.shift(color, x, y)
+            d = sampling.shift(depth, x, y)
+            upd = d <= closest_depth
             closest_depth = jnp.minimum(closest_depth, d)
-            depth_uv = jnp.where(upd[..., None], o, depth_uv)
+            dilate_dx = jnp.where(upd, float(x), dilate_dx)
+            dilate_dy = jnp.where(upd, float(y), dilate_dy)
             min_c = jnp.minimum(min_c, c)
             max_c = jnp.maximum(max_c, c)
             blurred = blurred + GAUSS[index] * c
             if index == 5:
-                # The shader's "color = neighbors[5]" (:173) is the
-                # (x=+1, y=0) texel, NOT the centre (index 4) — a
-                # reference off-by-one reproduced here for pixel parity.
-                center = c
+                center = c   # reference quirk (see module docstring)
 
-    velocity_s = sampling.sample_screen(velocity, depth_uv)  # dilated
+    # velocity at the dilated (closest-depth) neighbour: the offsets are
+    # one of 9 constants, so select among shifted velocity fields
+    velocity_s = jnp.zeros_like(velocity)
+    for y in (1, 0, -1):
+        for x in (1, 0, -1):
+            m = (dilate_dx == float(x)) & (dilate_dy == float(y))
+            velocity_s = jnp.where(m[None], sampling.shift(velocity, x, y),
+                                   velocity_s)
+
     accum = jnp.minimum(0.1, frame_counter.astype(jnp.float32))
-    shift_uv = uv - velocity_s
-    off = ((shift_uv[..., 0] < 0) | (shift_uv[..., 1] < 0)
-           | (shift_uv[..., 0] > 1) | (shift_uv[..., 1] > 1))
+    shift_u = uv[0] - velocity_s[0]
+    shift_v = uv[1] - velocity_s[1]
+    off = (shift_u < 0) | (shift_v < 0) | (shift_u > 1) | (shift_v > 1)
     accum = jnp.where(off, 1.0, accum)
 
-    acc_color = sampling.sample_screen(prev_color, shift_uv)
-    acc_color = jnp.clip(acc_color, min_c, max_c)
-    out = center * accum[..., None] + acc_color * (1.0 - accum[..., None])
+    # one packed history fetch: prev_color (3) + prev_velocity (2)
+    hist = sampling.sample_screen(
+        jnp.concatenate([prev_color, prev_velocity], axis=0),
+        jnp.stack([shift_u, shift_v]))
+    acc_color = jnp.clip(hist[:3], min_c, max_c)
+    out = center * accum[None] + acc_color * (1.0 - accum[None])
 
-    pv = sampling.sample_screen(prev_velocity, shift_uv)
-    vel_len = jnp.linalg.norm(pv - velocity_s, axis=-1)
+    pv = hist[3:5]
+    dv = pv - velocity_s
+    vel_len = jnp.sqrt(dv[0] * dv[0] + dv[1] * dv[1])
     disocc = jnp.clip((vel_len - 0.001) * 10.0, 0.0, 1.0)
-    out = out + (blurred - out) * disocc[..., None]
-    return out.transpose(2, 0, 1)
+    return out + (blurred - out) * disocc[None]

@@ -1,0 +1,125 @@
+"""Unit tests for the screen-space op stack (CPU, small shapes)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soc_real_time_renderer_tpu import config as cfg
+from soc_real_time_renderer_tpu.ops import (bloom, exposure, hiz, sampling,
+                                            taa, tonemap)
+
+
+def test_shift_matches_clamped_index():
+    img = jnp.asarray(np.arange(20, dtype=np.float32).reshape(4, 5))
+    for dx, dy in [(1, 0), (-2, 1), (0, -1), (3, 3)]:
+        got = np.asarray(sampling.shift(img, dx, dy))
+        ys = np.clip(np.arange(4) + dy, 0, 3)
+        xs = np.clip(np.arange(5) + dx, 0, 4)
+        np.testing.assert_array_equal(got, np.asarray(img)[ys][:, xs])
+
+
+def test_sample_screen_identity():
+    img = jnp.asarray(np.random.default_rng(0).random((3, 8, 16),
+                                                      dtype=np.float32))
+    uv = sampling.grid_uv(8, 16)
+    out = np.asarray(sampling.sample_screen(img, uv))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-6)
+
+
+def test_upsample_bilinear_shape_and_const():
+    img = jnp.full((3, 4, 8), 2.5, jnp.float32)
+    out = sampling.upsample_bilinear(img, 8, 16)
+    assert out.shape == (3, 8, 16)
+    np.testing.assert_allclose(np.asarray(out), 2.5, atol=1e-6)
+
+
+def test_shadow_cmp_border_and_compare():
+    shadow = jnp.ones((8, 8), jnp.float32) * 0.5
+    uv = jnp.asarray([[0.5], [0.5]])
+    lit = np.asarray(sampling.sample_shadow_cmp(shadow, uv,
+                                                jnp.asarray([0.4])))
+    dark = np.asarray(sampling.sample_shadow_cmp(shadow, uv,
+                                                 jnp.asarray([0.6])))
+    assert lit[0] == 1.0 and dark[0] == 0.0
+    outside = np.asarray(sampling.sample_shadow_cmp(
+        shadow, jnp.asarray([[2.0], [2.0]]), jnp.asarray([0.99])))
+    assert outside[0] == 1.0  # white border -> lit
+
+
+def test_bloom_conserves_black_and_spreads_light():
+    img = np.zeros((3, 64, 128), np.float32)
+    img[:, 32, 64] = 100.0
+    out = np.asarray(bloom.bloom(jnp.asarray(img)))
+    assert out[0, 32, 64] > 100.0          # additive at the source
+    assert out[0, 32, 70] > 0.01           # energy spread to neighbours
+    assert out[0, 0, 0] >= 0.0
+    zero = np.asarray(bloom.bloom(jnp.zeros((3, 64, 128), jnp.float32)))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-6)
+
+
+def test_hiz_pyramid():
+    d = jnp.asarray(np.random.default_rng(1).random((64, 64),
+                                                    dtype=np.float32))
+    mins = hiz.build_hiz(d, "min")
+    maxs = hiz.build_hiz(d, "max")
+    assert mins[0].shape == (32, 32)
+    assert mins[-1].shape == (1, 1)
+    assert float(mins[-1][0, 0]) == pytest.approx(float(np.min(np.asarray(d))))
+    assert float(maxs[-1][0, 0]) == pytest.approx(float(np.max(np.asarray(d))))
+
+
+def test_exposure_histogram_blacks_and_target():
+    g = cfg.ShaderGlobals.create()
+    hdr = jnp.full((3, 32, 32), 0.214, jnp.float32)
+    hist = exposure.luminance_histogram(hdr, g.log_min_luminance,
+                                        g.log_max_luminance)
+    assert int(hist.sum()) == 32 * 32
+    black = jnp.zeros((3, 8, 8), jnp.float32)
+    hb = exposure.luminance_histogram(black, g.log_min_luminance,
+                                      g.log_max_luminance)
+    assert int(hb[0]) == 64  # lum < 1e-3 -> bin 0
+    # at the target luminance the converged exposure ~ 0
+    exp = exposure.auto_exposure(hdr, jnp.float32(0.0), g)
+    for _ in range(300):
+        exp = exposure.auto_exposure(hdr, exp, g)
+    nxt = exposure.auto_exposure(hdr, exp, g)
+    # converged fixed point, finite (the reference's inverted remap
+    # makes the absolute value nonzero; stability is the contract)
+    assert np.isfinite(float(exp))
+    assert abs(float(nxt) - float(exp)) < 1e-3
+
+
+def test_tonemap_agx_range_and_monotonic():
+    g = cfg.ShaderGlobals.create()
+    ramp = jnp.linspace(0, 8, 64).reshape(1, 8, 8)
+    color = jnp.concatenate([ramp, ramp, ramp], 0).astype(jnp.float32)
+    out = np.asarray(tonemap.tone_map(color, jnp.float32(0.0), g))
+    assert np.isfinite(out).all()
+    assert out.min() >= -0.05 and out.max() <= 1.2
+    grey = out[0].reshape(-1)
+    # broadly increasing (the gamut round-trip allows tiny local dips)
+    assert grey[-1] > grey[0]
+    assert np.all(np.diff(grey) >= -0.02)
+    # zero maps to zero
+    z = np.asarray(tonemap.tone_map(jnp.zeros((3, 4, 4)), jnp.float32(0.0), g))
+    np.testing.assert_allclose(z, 0.0, atol=1e-5)
+
+
+def test_taa_static_scene_converges():
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.random((3, 32, 64), dtype=np.float32))
+    depth = jnp.full((32, 64), 0.5, jnp.float32)
+    vel = jnp.zeros((2, 32, 64), jnp.float32)
+    out = taa.taa(color, depth, vel, color, vel, jnp.int32(10), (32, 64))
+    # static scene + identical history -> output == neighbors[5] sample
+    expected = np.asarray(sampling.shift(color, 1, 0))
+    got = np.asarray(out)
+    # history clamp + blend of identical values keeps result within AABB
+    assert np.isfinite(got).all()
+    inner = got[:, 2:-2, 2:-2]
+    assert inner.min() >= -1e-4 and inner.max() <= 1.0 + 1e-4
+
+
+def test_plastic_jitter_cycles():
+    a = np.asarray(cfg.plastic_jitter(5, 64, 64))
+    b = np.asarray(cfg.plastic_jitter(37, 64, 64))
+    np.testing.assert_allclose(a, b, atol=1e-7)

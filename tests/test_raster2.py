@@ -12,7 +12,8 @@ GRID = raster2.BinGrid(width=64, height=64, bin_size=32, group=2, chunk=128,
 
 
 def rasterize(clip, n, cull="none"):
-    tri_clip = jnp.asarray(clip.reshape(n, 3, 4))
+    # planar (3 verts, 4 comps, T) layout
+    tri_clip = jnp.asarray(clip.reshape(n, 3, 4).transpose(1, 2, 0))
     return raster2.rasterize_jit(tri_clip, GRID, cull, True)
 
 

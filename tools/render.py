@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--scene", default="helmet",
                     choices=["helmet", "sponza", "terrain", "full"])
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--frames", type=int, default=1)
     ap.add_argument("--out", default="out/frame.png")
     ap.add_argument("--platform", default=None)

@@ -173,10 +173,11 @@ def _sample_repeat(tex, uv):
     x1i = jnp.remainder(x0i + 1, N)
     y0i = jnp.remainder(y0.astype(jnp.int32), N)
     y1i = jnp.remainder(y0i + 1, N)
-    c00 = tex[y0i, x0i]
-    c10 = tex[y0i, x1i]
-    c01 = tex[y1i, x0i]
-    c11 = tex[y1i, x1i]
+    flat = tex.reshape(-1)
+    c00 = flat[y0i * N + x0i]
+    c10 = flat[y0i * N + x1i]
+    c01 = flat[y1i * N + x0i]
+    c11 = flat[y1i * N + x1i]
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
 

@@ -174,7 +174,7 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
         step = Vn * step_len[None, :]
         xi = (uv[0] * W).astype(jnp.int32) % 4
         yi = (uv[1] * H).astype(jnp.int32) % 4
-        dither = DITHER_PATTERN[xi, yi]
+        dither = DITHER_PATTERN.reshape(-1)[xi * 4 + yi]
         accum = jnp.zeros_like(d)
         for i in range(2):  # NUM_STEPS_INT = 2
             pstep = scp[:, None] + step * float(i) + dither[None, :] * step

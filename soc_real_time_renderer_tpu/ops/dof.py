@@ -27,27 +27,24 @@ def build_mips_device(color):
 
 
 def _sample_mip(levels, uv, lod):
-    """Trilinear sample across the device mip list at (..., 2) uv."""
+    """Trilinear sample across the device mip list; uv planar (2, H, W)."""
     n = len(levels)
     lod = jnp.clip(lod, 0.0, n - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
-    f = (lod - l0.astype(jnp.float32))[..., None]
-    out0 = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+    f = (lod - l0.astype(jnp.float32))[None]
+    out0 = jnp.zeros((3,) + uv.shape[1:], jnp.float32)
     out1 = jnp.zeros_like(out0)
     for k in range(n):
         s = sampling.sample_screen(levels[k], uv)
-        out0 = jnp.where((l0 == k)[..., None], s, out0)
-        out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == k)[..., None], s,
-                         out1)
+        out0 = jnp.where((l0 == k)[None], s, out0)
+        out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == k)[None], s, out1)
     return out0 * (1 - f) + out1 * f
 
 
 def depth_of_field(color, depth, g):
     """color: (3, H, W); depth: (H, W). Returns (3, H, W)."""
     H, W = depth.shape
-    ux = (jnp.arange(W, dtype=jnp.float32) + 0.5) / W
-    uy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / H
-    uv = jnp.stack(jnp.meshgrid(ux, uy, indexing="xy"), -1)
+    uv = sampling.grid_uv(H, W)
 
     far, near = g.camera_far_clip, g.camera_near_clip
     obj = -far * near / (depth * (far - near) - far)
@@ -61,14 +58,16 @@ def depth_of_field(color, depth, g):
     # textureGrad with gradient (coc, coc) -> lod = log2(coc * size)
     lod = jnp.log2(jnp.maximum(coc * W, 1e-6))
     levels = build_mips_device(color)
-    off = jnp.array([1.0 / W, 1.0 / H], jnp.float32)
-    acc = (_sample_mip(levels, uv + jnp.array([off[0], 0.0]), lod)
-           + _sample_mip(levels, uv - jnp.array([off[0], 0.0]), lod)
-           + _sample_mip(levels, uv + jnp.array([0.0, off[1]]), lod)
-           + _sample_mip(levels, uv - jnp.array([0.0, off[1]]), lod)) * 0.25
+
+    def offs(dx, dy):
+        return uv + jnp.array([dx, dy], jnp.float32)[:, None, None]
+
+    acc = (_sample_mip(levels, offs(1.0 / W, 0.0), lod)
+           + _sample_mip(levels, offs(-1.0 / W, 0.0), lod)
+           + _sample_mip(levels, offs(0.0, 1.0 / H), lod)
+           + _sample_mip(levels, offs(0.0, -1.0 / H), lod)) * 0.25
     sharp = sampling.sample_screen(color, uv)
-    out = jnp.where((depth < 1.0)[..., None], acc, sharp)
-    return out.transpose(2, 0, 1)
+    return jnp.where((depth < 1.0)[None], acc, sharp)
 
 
 def display_attachment(image, out_h, out_w):
@@ -76,8 +75,5 @@ def display_attachment(image, out_h, out_w):
     intermediate to the output size."""
     if image.ndim == 2:
         image = image[None]
-    ux = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
-    uy = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
-    uv = jnp.stack(jnp.meshgrid(ux, uy, indexing="xy"), -1)
-    out = sampling.sample_screen(image, uv, method="nearest")
-    return out.transpose(2, 0, 1)
+    uv = sampling.grid_uv(out_h, out_w)
+    return sampling.sample_screen(image, uv, method="nearest")

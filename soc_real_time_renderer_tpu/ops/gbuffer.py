@@ -111,7 +111,7 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
         def tap(xi, yi):
             xw = jnp.remainder(xi, s)
             yw = jnp.remainder(yi, s)
-            idx = base_m + off + yw * s + xw
+            idx = jax.lax.optimization_barrier(base_m + off + yw * s + xw)
             return atlas[:, idx].astype(jnp.float32) / 255.0   # (16, P)
 
         if not bilinear:
@@ -144,7 +144,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
 
     tri = vis.tri_id.reshape(-1)
     miss = tri < 0
-    t = jnp.where(miss, T, tri)
+    t = jax.lax.optimization_barrier(jnp.where(miss, T, tri))
 
     rec = shading_records[:, t]                       # (40, P)
 

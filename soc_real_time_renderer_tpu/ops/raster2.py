@@ -151,7 +151,7 @@ def default_grid(width, height, scale="scene"):
     for tests/tiny models."""
     if scale == "small":
         return BinGrid(width=width, height=height, pair_cap=16384,
-                       med_cap=512, chunk=32)
+                       med_cap=512)
     t = BinGrid(width=width, height=height)
     if width >= 2048:  # shadow maps: bigger bins to bound bin count
         t = dataclasses.replace(t, bin_size=64, chunk=64, group=2,

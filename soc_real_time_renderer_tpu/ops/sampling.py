@@ -17,6 +17,7 @@ sampler becomes a pure gather-based function in PLANAR layout
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -53,12 +54,16 @@ def sample_screen(img, uv, method: str = "linear"):
     if squeeze:
         img = img[None]
     C, H, W = img.shape
+    # single-axis flat gathers ONLY: multi-index-array advanced indexing
+    # (img[:, yi, xi]) hangs the TPU compiler at scale (PERF.md)
+    flat = img.reshape(C, H * W)
     x = uv[0] * W - 0.5
     y = uv[1] * H - 0.5
     if method == "nearest":
         xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
-        out = img[:, yi, xi]
+        # barrier: chained-gather fusion analysis hangs the TPU compiler
+        out = flat[:, jax.lax.optimization_barrier(yi * W + xi)]
     else:
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
@@ -68,10 +73,14 @@ def sample_screen(img, uv, method: str = "linear"):
         x1i = jnp.clip(x0i + 1, 0, W - 1)
         y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
         y1i = jnp.clip(y0i + 1, 0, H - 1)
-        c00 = img[:, y0i, x0i]
-        c10 = img[:, y0i, x1i]
-        c01 = img[:, y1i, x0i]
-        c11 = img[:, y1i, x1i]
+        r0 = y0i * W
+        r1 = y1i * W
+        i00, i10, i01, i11 = jax.lax.optimization_barrier(
+            (r0 + x0i, r0 + x1i, r1 + x0i, r1 + x1i))
+        c00 = flat[:, i00]
+        c10 = flat[:, i10]
+        c01 = flat[:, i01]
+        c11 = flat[:, i11]
         top = c00 * (1 - fx) + c10 * fx
         bot = c01 * (1 - fx) + c11 * fx
         out = top * (1 - fy) + bot * fy
@@ -129,11 +138,14 @@ def sample_shadow_cmp(shadow, uv, ref, border: float = 1.0):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    flat = shadow.reshape(-1)
+
     def fetch(xi, yi):
         inside = (xi >= 0) & (xi < S) & (yi >= 0) & (yi < S)
         xs = jnp.clip(xi, 0, S - 1)
         ys = jnp.clip(yi, 0, S - 1)
-        d = jnp.where(inside, shadow[ys, xs], border)
+        idx = jax.lax.optimization_barrier(ys * S + xs)
+        d = jnp.where(inside, flat[idx], border)
         return (ref < d).astype(jnp.float32)
 
     t00 = fetch(x0i, y0i)

@@ -9,6 +9,7 @@ Rendered at half resolution like the reference (renderer.cpp:827-831).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import sampling
@@ -101,28 +102,52 @@ def ssao_generate(depth, normal, g, kernel_size: int = 26):
 
     proj = g.camera.projection
 
-    def step(occlusion, k):
-        sp = tangent * k[0] + bitangent * k[1] + normal_v * k[2]
-        sample_pos = frag_pos + sp * g.ssao_radius           # view space
-        ox = (proj[0, 0] * sample_pos[0] + proj[0, 1] * sample_pos[1]
-              + proj[0, 2] * sample_pos[2] + proj[0, 3])
-        oy = (proj[1, 0] * sample_pos[0] + proj[1, 1] * sample_pos[1]
-              + proj[1, 2] * sample_pos[2] + proj[1, 3])
-        ow = (proj[3, 0] * sample_pos[0] + proj[3, 1] * sample_pos[1]
-              + proj[3, 2] * sample_pos[2] + proj[3, 3])
-        ows = jnp.where(ow != 0, ow, 1.0)
-        ouv = jnp.stack([ox / ows * 0.5 + 0.5, oy / ows * 0.5 + 0.5])
-        sd = sampling.sample_screen(depth, ouv)
-        sample_depth = view_from_depth(ouv, sd, g.camera.inv_projection)[2]
-        denom = jnp.maximum(jnp.abs(frag_pos[2] - sample_depth), 1e-8)
-        t = jnp.clip(g.ssao_radius / denom, 0.0, 1.0)
-        range_check = t * t * (3.0 - 2.0 * t)                # smoothstep
-        hit = sample_depth >= sample_pos[2] + g.ssao_bias
-        return occlusion + hit.astype(jnp.float32) * range_check, None
+    # All 26 hemisphere taps vectorized into ONE flat gather: index math
+    # inside lax.scan bodies explodes the TPU compiler (PERF.md), and a
+    # single (K, h, w) gather is also fastest at runtime.
+    k = KERNEL[:kernel_size]                                  # (K, 3)
+    sp_x = (tangent[0][None] * k[:, 0, None, None]
+            + bitangent[0][None] * k[:, 1, None, None]
+            + normal_v[0][None] * k[:, 2, None, None])
+    sp_y = (tangent[1][None] * k[:, 0, None, None]
+            + bitangent[1][None] * k[:, 1, None, None]
+            + normal_v[1][None] * k[:, 2, None, None])
+    sp_z = (tangent[2][None] * k[:, 0, None, None]
+            + bitangent[2][None] * k[:, 1, None, None]
+            + normal_v[2][None] * k[:, 2, None, None])
+    sx = frag_pos[0][None] + sp_x * g.ssao_radius             # (K, h, w)
+    sy = frag_pos[1][None] + sp_y * g.ssao_radius
+    sz = frag_pos[2][None] + sp_z * g.ssao_radius
 
-    from jax import lax
-    occlusion, _ = lax.scan(step, jnp.zeros((h, w), jnp.float32),
-                            KERNEL[:kernel_size])
+    ox = proj[0, 0] * sx + proj[0, 1] * sy + proj[0, 2] * sz + proj[0, 3]
+    oy = proj[1, 0] * sx + proj[1, 1] * sy + proj[1, 2] * sz + proj[1, 3]
+    ow = proj[3, 0] * sx + proj[3, 1] * sy + proj[3, 2] * sz + proj[3, 3]
+    ows = jnp.where(ow != 0, ow, 1.0)
+    ou = ox / ows * 0.5 + 0.5
+    ov = oy / ows * 0.5 + 0.5
+
+    Hf, Wf = depth.shape
+    xi = jnp.clip((ou * Wf - 0.5).astype(jnp.int32), 0, Wf - 1)
+    yi = jnp.clip((ov * Hf - 0.5).astype(jnp.int32), 0, Hf - 1)
+    # barrier: keep XLA from fusing the whole tap-position chain into
+    # the gather (fusion analysis on chained gathers hangs the TPU
+    # compiler — PERF.md)
+    idx = jax.lax.optimization_barrier(yi * Wf + xi)
+    sd = depth.reshape(-1)[idx]                               # (K, h, w)
+
+    # view-space z of the sampled depth (view_from_depth z-row inlined)
+    P = g.camera.inv_projection
+    nx = ou * 2.0 - 1.0
+    ny = ov * 2.0 - 1.0
+    vz = P[2, 0] * nx + P[2, 1] * ny + P[2, 2] * sd + P[2, 3]
+    vw = P[3, 0] * nx + P[3, 1] * ny + P[3, 2] * sd + P[3, 3]
+    sample_depth = vz / jnp.where(vw != 0, vw, 1.0)
+
+    denom = jnp.maximum(jnp.abs(frag_pos[2][None] - sample_depth), 1e-8)
+    t = jnp.clip(g.ssao_radius / denom, 0.0, 1.0)
+    range_check = t * t * (3.0 - 2.0 * t)                     # smoothstep
+    hit = sample_depth >= sz + g.ssao_bias
+    occlusion = jnp.sum(hit.astype(jnp.float32) * range_check, axis=0)
     return 1.0 - occlusion / float(kernel_size)
 
 

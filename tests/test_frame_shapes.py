@@ -1,0 +1,55 @@
+"""Whole-frame shape/trace check via eval_shape (fast CI guard: catches
+layout/broadcast regressions without compiling or running kernels)."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from soc_real_time_renderer_tpu import config as cfgm
+from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+from soc_real_time_renderer_tpu.graph import frame as fm
+from soc_real_time_renderer_tpu.models import proc
+from soc_real_time_renderer_tpu.models.scene_batch import build_scene_batch
+
+
+def _setup(width=256, height=128, **cfg_kw):
+    cfg = cfgm.RenderConfig(width=width, height=height,
+                            shadow_resolution=256, **cfg_kw)
+    batch, atlas = build_scene_batch([proc.unit_quad()], atlas_size=64)
+    plan = fm.FramePlan.create(cfg, atlas, interpret=True)
+    plan = dataclasses.replace(
+        plan,
+        main_grid=dataclasses.replace(plan.main_grid, pair_cap=1024,
+                                      med_cap=64),
+        shadow_grid=dataclasses.replace(plan.shadow_grid, pair_cap=1024,
+                                        med_cap=64))
+    cam = Camera3D()
+    cam.resize(width, height)
+    cm = camera_matrices(cam, [0, 0, 1.5], 1, width, height)
+    g = cfgm.ShaderGlobals.create(camera=cm, camera_prev=cm)
+    hist = fm.RenderHistory.create(cfg)
+    mm = np.eye(4, dtype=np.float32)[None]
+    return plan, batch, g, hist, mm
+
+
+@pytest.mark.parametrize("cfg_kw", [
+    {},                                            # default pipeline
+    {"enable_ssr": True, "composite_ssr": True},
+    {"enable_depth_of_field": True},
+    {"enable_volumetric_light": True},
+    {"enable_shadows": False, "enable_bloom": False, "enable_taa": False,
+     "enable_ssao": False, "enable_clouds": False,
+     "enable_auto_exposure": False},
+])
+def test_render_frame_shapes(cfg_kw):
+    plan, batch, g, hist, mm = _setup(**cfg_kw)
+    out, hist2 = jax.eval_shape(
+        lambda b, gg, h, m, n: fm.render_frame(plan, b, gg, h, m, n),
+        batch, g, hist, mm, mm)
+    H, W = plan.config.height, plan.config.width
+    assert out.color.shape == (3, H, W)
+    assert out.hdr.shape == (3, H, W)
+    assert out.gbuffer.velocity.shape == (2, H, W)
+    assert hist2.previous_color.shape == (3, H, W)
+    assert hist2.exposure.shape == ()

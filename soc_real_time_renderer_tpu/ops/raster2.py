@@ -154,8 +154,7 @@ def default_grid(width, height, scale="scene"):
                        med_cap=512)
     t = BinGrid(width=width, height=height)
     if width >= 2048:  # shadow maps: bigger bins to bound bin count
-        t = dataclasses.replace(t, bin_size=64, chunk=64, group=2,
-                                pair_cap=524288)
+        t = dataclasses.replace(t, bin_size=64, group=2, pair_cap=524288)
     return t
 
 

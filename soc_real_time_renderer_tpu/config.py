@@ -286,12 +286,10 @@ class RenderConfig:
     enable_auto_exposure: bool = True
     enable_depth_of_field: bool = False  # renderer.cpp:1119-1153 commented out
     enable_volumetric_light: bool = False  # composition.inl:196 force-zeroed
-    # Rasterizer tiling (TPU-specific; see ops/raster.py).
-    coarse_tile_px: int = 128
-    fine_tile_h: int = 32
-    fine_tile_w: int = 32
-    max_tris_per_fine_tile: int = 1024
-    max_tris_per_coarse_tile: int = 8192
+    # Static light-scan bounds (the 128-slot arrays always exist for
+    # ABI parity; scenes with fewer lights compile shorter scans).
+    max_point_lights: int = 128
+    max_spot_lights: int = 128
     # Terrain grid (100x100 patches, renderer.cpp:214-247) subdivided on
     # host because TPU has no tessellation stage; this factor plays the
     # role of the uniform tess level (draw_terrain.inl:152-159).

@@ -223,7 +223,9 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         g, vis.depth, gbuf.albedo, emissive, gbuf.normal, ssao_full,
         shadow_map, clouds_full,
         enable_volumetric=cfg.enable_volumetric_light,
-        enable_shadow=cfg.enable_shadows)
+        enable_shadow=cfg.enable_shadows,
+        max_point_lights=cfg.max_point_lights,
+        max_spot_lights=cfg.max_spot_lights)
     if cfg.composite_ssr and ssr_img is not None:
         # the mix the reference comments out (composition.inl:213-216)
         rough = gbuf.metallic_roughness[0]

@@ -81,10 +81,10 @@ def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
 
     # densify so the scene hits Sponza-like triangle counts
     floor = subdivide_quad([-L / 2, 0, -W / 2], [L / 2, 0, -W / 2],
-                           [L / 2, 0, W / 2], [-L / 2, 0, W / 2], 48, 24)
+                           [L / 2, 0, W / 2], [-L / 2, 0, W / 2], 96, 48)
     groups.append((floor, 0))
     ceil_q = subdivide_quad([-L / 2, H, W / 2], [L / 2, H, W / 2],
-                            [L / 2, H, -W / 2], [-L / 2, H, -W / 2], 48, 24)
+                            [L / 2, H, -W / 2], [-L / 2, H, -W / 2], 96, 48)
     groups.append((ceil_q, 1))
     walls = []
     walls += subdivide_quad([-L / 2, 0, -W / 2], [-L / 2, 0, W / 2],
@@ -99,10 +99,10 @@ def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
 
     cols = []
     for row_z in (-W / 4, W / 4):
-        for i in range(10):
-            x = -L / 2 + (i + 0.5) * L / 10
+        for i in range(12):
+            x = -L / 2 + (i + 0.5) * L / 12
             cols += _cylinder((x, 0.0, row_z), 40.0, H * 0.85,
-                              segments=48, vdiv=24)
+                              segments=64, vdiv=40)
     groups.append((cols, 3))
 
     crates = []
@@ -112,7 +112,7 @@ def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
         s = rng.uniform(30, 90)
         h = rng.uniform(40, 160)
         for q in _box(cx, cz, s, h):
-            crates.extend(subdivide_quad(*q, 3, 3))
+            crates.extend(subdivide_quad(*q, 4, 4))
     groups.append((crates, 4))
 
     pos_l, nrm_l, uv_l, idx_l, prims = [], [], [], [], []

@@ -70,11 +70,18 @@ def _project(m, v):
     return jnp.stack([x / ws, y / ws, z / ws]), w
 
 
-def _local_lights(g: ShaderGlobals, albedo, normal, position):
+def _local_lights(g: ShaderGlobals, albedo, normal, position,
+                  max_point: int = 128, max_spot: int = 128):
     """Point + spot lights (composition.inl:124-160) over the fixed 128
-    slots (shared.inl:84-85) as a lax.scan; masked by count."""
+    slots (shared.inl:84-85) as a lax.scan; masked by count.
+
+    max_point/max_spot statically bound the scan (scenes pass their real
+    light counts: a 256-step scan over empty slots costs ~50 ms/frame).
+    """
     from jax import lax
 
+    if max_point == 0 and max_spot == 0:
+        return jnp.zeros_like(albedo)
     cam = g.camera.position
     vdir = normalize3(cam[:, None] - position)     # (3, P)
 
@@ -90,12 +97,14 @@ def _local_lights(g: ShaderGlobals, albedo, normal, position):
         s = (diffuse + spec) / d2 * li * on
         return acc + albedo * (lc[:, None] * s[None, :]), None
 
-    pl_on = (jnp.arange(g.lights.point_position.shape[0])
-             < g.lights.point_count).astype(jnp.float32)
     acc = jnp.zeros_like(albedo)
-    acc, _ = lax.scan(point_step, acc,
-                      (g.lights.point_position, g.lights.point_color,
-                       g.lights.point_intensity, pl_on))
+    if max_point > 0:
+        pl_on = (jnp.arange(max_point)
+                 < g.lights.point_count).astype(jnp.float32)
+        acc, _ = lax.scan(point_step, acc,
+                          (g.lights.point_position[:max_point],
+                           g.lights.point_color[:max_point],
+                           g.lights.point_intensity[:max_point], pl_on))
 
     def spot_step(a, light):
         lp, ld, lc, li, cut, ocut, on = light
@@ -113,19 +122,23 @@ def _local_lights(g: ShaderGlobals, albedo, normal, position):
         s = (diffuse + spec) / d2 * li * cone * on
         return a + albedo * (lc[:, None] * s[None, :]), None
 
-    sl_on = (jnp.arange(g.lights.spot_position.shape[0])
-             < g.lights.spot_count).astype(jnp.float32)
-    acc, _ = lax.scan(spot_step, acc,
-                      (g.lights.spot_position, g.lights.spot_direction,
-                       g.lights.spot_color, g.lights.spot_intensity,
-                       g.lights.spot_cut_off, g.lights.spot_outer_cut_off,
-                       sl_on))
+    if max_spot > 0:
+        sl_on = (jnp.arange(max_spot)
+                 < g.lights.spot_count).astype(jnp.float32)
+        acc, _ = lax.scan(spot_step, acc,
+                          (g.lights.spot_position[:max_spot],
+                           g.lights.spot_direction[:max_spot],
+                           g.lights.spot_color[:max_spot],
+                           g.lights.spot_intensity[:max_spot],
+                           g.lights.spot_cut_off[:max_spot],
+                           g.lights.spot_outer_cut_off[:max_spot], sl_on))
     return acc
 
 
 def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
             shadow_map, clouds, *, enable_volumetric: bool = False,
-            enable_shadow: bool = True):
+            enable_shadow: bool = True, max_point_lights: int = 128,
+            max_spot_lights: int = 128):
     """Full composition pass (planar).
 
     depth: (H, W); albedo/emissive/normal: (3, H, W); ssao: (H, W);
@@ -159,7 +172,9 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
     direct_s = jnp.maximum(0.0, dot3(nrm, -g.sun.direction[:, None])) \
         * sun_shadow
     direct = jnp.broadcast_to(direct_s[None, :], alb.shape)
-    direct = direct + _local_lights(g, alb, nrm, position)
+    direct = direct + _local_lights(g, alb, nrm, position,
+                                    max_point_lights,
+                                    max_spot_lights)
 
     # --- volumetric light (computed-then-zeroed in the reference)
     if enable_volumetric and shadow_map is not None:

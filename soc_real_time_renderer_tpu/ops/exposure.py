@@ -27,10 +27,14 @@ LUMA = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 def luminance_histogram(hdr, log_min, log_max):
     """hdr: (3, H, W) -> (256,) int32 histogram."""
     lum = jnp.einsum("c,chw->hw", LUMA, hdr).reshape(-1)
-    log_l = jnp.where(lum < 1e-3, -jnp.inf, jnp.log2(jnp.maximum(lum, 1e-30)))
+    log_l = jnp.log2(jnp.maximum(lum, 1e-30))
     n = AUTO_EXPOSURE_BIN_COUNT
     mapped = (log_l - log_min) / (log_max - log_min) * (n - 2) + 1.0
     idx = jnp.clip(mapped.astype(jnp.int32), 0, n - 1)
+    # black pixels land in bin 0 (generate_luminance_histogram.inl:68-69
+    # sets lum = 0 so its log2 underflows to the first bin; we assign
+    # explicitly instead of relying on i32(-inf) conversion behaviour)
+    idx = jnp.where(lum < 1e-3, 0, idx)
     # compare+reduce instead of bincount: ~8x faster on TPU (PERF.md)
     onehot = idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
     return jnp.sum(onehot.astype(jnp.int32), axis=0)

@@ -73,6 +73,11 @@ class BuiltScene:
 
 def _finish(scene, models, config, camera_pos, camera_target, animate=False,
             atlas_size=1024):
+    # bound the composition light scans by the actual scene lights
+    lights = scene.update(0.0)
+    config = config.replace(
+        max_point_lights=int(lights.point_count),
+        max_spot_lights=int(lights.spot_count))
     batch, atlas = build_scene_batch(models, atlas_size=atlas_size)
     plan = frame_mod.FramePlan.create(config, atlas)
     cam = Camera3D()

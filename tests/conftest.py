@@ -15,6 +15,9 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# The axon sitecustomize pins jax_platforms to the tunneled TPU; tests
+# want the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: recompiles across test runs are the
 # dominant cost on CPU.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

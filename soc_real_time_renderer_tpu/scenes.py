@@ -80,6 +80,24 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
         max_spot_lights=int(lights.spot_count))
     batch, atlas = build_scene_batch(models, atlas_size=atlas_size)
     plan = frame_mod.FramePlan.create(config, atlas)
+    # size pair caps to the scene: the sorted pair stream truncates
+    # (bottom-of-screen bins drop) if the cap is exceeded
+    import dataclasses as _dc
+    T = batch.num_triangles
+
+    def _cap(grid):
+        want = min(4 * T + grid.med_cap * grid.med_slots,
+                   max(3 * T, 262144))
+        want = -(-want // grid.chunk) * grid.chunk
+        return _dc.replace(grid, pair_cap=want)
+
+    plan = _dc.replace(plan, main_grid=_cap(plan.main_grid),
+                       shadow_grid=_cap(plan.shadow_grid))
+    # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
+    # staging-upload analog; per-frame re-upload of the packed atlas
+    # costs seconds)
+    import jax as _jax
+    batch = _jax.device_put(batch)
     cam = Camera3D()
     cam.resize(config.width, config.height)
     return BuiltScene(scene=scene, batch=batch, plan=plan, camera=cam,

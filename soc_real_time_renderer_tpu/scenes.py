@@ -86,10 +86,13 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     T = batch.num_triangles
 
     def _cap(grid):
-        want = min(4 * T + grid.med_cap * grid.med_slots,
-                   max(3 * T, 262144))
+        # medium-path capacity: close-up geometry (bbox > 4 bins) can be
+        # a large fraction of T
+        med_cap = max(8192, min(T // 2, 65536))
+        want = min(4 * T + med_cap * grid.med_slots,
+                   max(6 * T, 393216))
         want = -(-want // grid.chunk) * grid.chunk
-        return _dc.replace(grid, pair_cap=want)
+        return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
 
     plan = _dc.replace(plan, main_grid=_cap(plan.main_grid),
                        shadow_grid=_cap(plan.shadow_grid))

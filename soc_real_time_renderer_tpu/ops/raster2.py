@@ -95,19 +95,43 @@ def triangle_setup_planar(clip, width, height, cull: str = "front"
         s = jnp.sign(det)
     adj = jnp.stack(r0 + r1 + r2) * s[None, :]         # (9, T)
 
+    # Exact screen bbox even across the near plane: candidates are the
+    # projected vertices with w > eps plus the projections of edge
+    # intersections with the w = eps plane (a full-screen fallback here
+    # explodes pair counts — one camera-plane-crossing floor can emit
+    # hundreds of bins per triangle).
+    big = jnp.float32(1e9)
+    cand_x, cand_y, cand_ok = [], [], []
+    for i in range(3):
+        ok = w[i] > W_EPS
+        wi = jnp.where(ok, w[i], 1.0)
+        cand_x.append(X[i] / wi)
+        cand_y.append(Y[i] / wi)
+        cand_ok.append(ok)
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        crosses = (w[i] > W_EPS) != (w[j] > W_EPS)
+        dw = jnp.where(jnp.abs(w[j] - w[i]) > 1e-12, w[j] - w[i], 1.0)
+        t = (W_EPS - w[i]) / dw
+        xc = X[i] + t * (X[j] - X[i])
+        yc = Y[i] + t * (Y[j] - Y[i])
+        cand_x.append(xc / W_EPS)
+        cand_y.append(yc / W_EPS)
+        cand_ok.append(crosses)
+    cx = jnp.stack(cand_x)                              # (6, T)
+    cy = jnp.stack(cand_y)
+    ok6 = jnp.stack(cand_ok)
+    x0 = jnp.min(jnp.where(ok6, cx, big), axis=0)
+    x1 = jnp.max(jnp.where(ok6, cx, -big), axis=0)
+    y0 = jnp.min(jnp.where(ok6, cy, big), axis=0)
+    y1 = jnp.max(jnp.where(ok6, cy, -big), axis=0)
+    any_ok = jnp.any(ok6, axis=0)
+    x0 = jnp.clip(jnp.floor(jnp.where(any_ok, x0, 0.0)), 0, width)
+    y0 = jnp.clip(jnp.floor(jnp.where(any_ok, y0, 0.0)), 0, height)
+    x1 = jnp.clip(jnp.ceil(jnp.where(any_ok, x1, 0.0)) + 1.0, 0, width)
+    y1 = jnp.clip(jnp.ceil(jnp.where(any_ok, y1, 0.0)) + 1.0, 0, height)
+    bbox = jnp.stack([x0, y0, x1, y1])
     w_ok = jnp.all(w > W_EPS, axis=0)
     wsafe = jnp.where(jnp.abs(w) > W_EPS, w, W_EPS)
-    px = X / wsafe
-    py = Y / wsafe
-    x0 = jnp.where(w_ok, jnp.min(px, 0), 0.0)
-    x1 = jnp.where(w_ok, jnp.max(px, 0), jnp.float32(width))
-    y0 = jnp.where(w_ok, jnp.min(py, 0), 0.0)
-    y1 = jnp.where(w_ok, jnp.max(py, 0), jnp.float32(height))
-    x0 = jnp.clip(jnp.floor(x0), 0, width)
-    y0 = jnp.clip(jnp.floor(y0), 0, height)
-    x1 = jnp.clip(jnp.ceil(x1) + 1.0, 0, width)
-    y1 = jnp.clip(jnp.ceil(y1) + 1.0, 0, height)
-    bbox = jnp.stack([x0, y0, x1, y1])
 
     zndc = z / wsafe
     z_ok = jnp.where(w_ok,
@@ -119,14 +143,19 @@ def triangle_setup_planar(clip, width, height, cull: str = "front"
 
 @dataclass(frozen=True)
 class BinGrid:
-    """Static binning configuration for one render-target size."""
+    """Static binning configuration for one render-target size.
+
+    64px bins keep the vast majority of triangles in the 4-slot small
+    path even close up (a triangle must exceed ~128px to go medium);
+    the resolve kernel subdivides each bin into (8,128)-pixel register
+    blocks so bin size doesn't hurt VPU shape."""
     width: int
     height: int
-    bin_size: int = 32          # square bins, pixels
-    group: int = 4              # bins per Pallas out-block (group*bin = lanes)
+    bin_size: int = 64          # square bins, pixels
+    group: int = 2              # bins per Pallas out-block (group*bin = lanes)
     chunk: int = 128            # triangles per resolve chunk
     pair_cap: int = 262144      # gathered record columns (sorted prefix)
-    med_cap: int = 4096         # max "medium" triangles (bbox > 4 bins)
+    med_cap: int = 8192         # max "medium" triangles (bbox > 4 bins)
     med_slots: int = 64         # bins covered per medium triangle
 
     @property
@@ -152,10 +181,7 @@ def default_grid(width, height, scale="scene"):
     if scale == "small":
         return BinGrid(width=width, height=height, pair_cap=16384,
                        med_cap=512)
-    t = BinGrid(width=width, height=height)
-    if width >= 2048:  # shadow maps: bigger bins to bound bin count
-        t = dataclasses.replace(t, bin_size=64, group=2, pair_cap=524288)
-    return t
+    return BinGrid(width=width, height=height)
 
 
 # ---------------------------------------------------------------------------

@@ -86,11 +86,11 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     T = batch.num_triangles
 
     def _cap(grid):
-        # medium-path capacity: close-up geometry (bbox > 4 bins) can be
-        # a large fraction of T
-        med_cap = max(8192, min(T // 2, 65536))
+        # with 64px bins the medium path (bbox > 4 bins ~ >128px) is
+        # rare; pair stream sized for ~3 bins/triangle average
+        med_cap = max(8192, min(T // 4, 32768))
         want = min(4 * T + med_cap * grid.med_slots,
-                   max(6 * T, 393216))
+                   max(4 * T, 262144))
         want = -(-want // grid.chunk) * grid.chunk
         return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
 

@@ -80,21 +80,22 @@ def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
     groups = []                           # (quads, mat)
 
     # densify so the scene hits Sponza-like triangle counts
-    floor = subdivide_quad([-L / 2, 0, -W / 2], [L / 2, 0, -W / 2],
-                           [L / 2, 0, W / 2], [-L / 2, 0, W / 2], 96, 48)
+    # interior scene: faces wind CCW as seen from INSIDE
+    floor = subdivide_quad([-L / 2, 0, W / 2], [L / 2, 0, W / 2],
+                           [L / 2, 0, -W / 2], [-L / 2, 0, -W / 2], 96, 48)
     groups.append((floor, 0))
-    ceil_q = subdivide_quad([-L / 2, H, W / 2], [L / 2, H, W / 2],
-                            [L / 2, H, -W / 2], [-L / 2, H, -W / 2], 96, 48)
+    ceil_q = subdivide_quad([-L / 2, H, -W / 2], [L / 2, H, -W / 2],
+                            [L / 2, H, W / 2], [-L / 2, H, W / 2], 96, 48)
     groups.append((ceil_q, 1))
     walls = []
-    walls += subdivide_quad([-L / 2, 0, -W / 2], [-L / 2, 0, W / 2],
-                            [-L / 2, H, W / 2], [-L / 2, H, -W / 2], 24, 18)
-    walls += subdivide_quad([L / 2, 0, W / 2], [L / 2, 0, -W / 2],
-                            [L / 2, H, -W / 2], [L / 2, H, W / 2], 24, 18)
-    walls += subdivide_quad([-L / 2, 0, W / 2], [L / 2, 0, W / 2],
-                            [L / 2, H, W / 2], [-L / 2, H, W / 2], 48, 18)
-    walls += subdivide_quad([L / 2, 0, -W / 2], [-L / 2, 0, -W / 2],
-                            [-L / 2, H, -W / 2], [L / 2, H, -W / 2], 48, 18)
+    walls += subdivide_quad([-L / 2, H, -W / 2], [-L / 2, H, W / 2],
+                            [-L / 2, 0, W / 2], [-L / 2, 0, -W / 2], 24, 18)
+    walls += subdivide_quad([L / 2, H, W / 2], [L / 2, H, -W / 2],
+                            [L / 2, 0, -W / 2], [L / 2, 0, W / 2], 24, 18)
+    walls += subdivide_quad([-L / 2, H, W / 2], [L / 2, H, W / 2],
+                            [L / 2, 0, W / 2], [-L / 2, 0, W / 2], 48, 18)
+    walls += subdivide_quad([L / 2, H, -W / 2], [-L / 2, H, -W / 2],
+                            [-L / 2, 0, -W / 2], [L / 2, 0, -W / 2], 48, 18)
     groups.append((walls, 2))
 
     cols = []

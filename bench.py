@@ -39,6 +39,10 @@ def main():
     except Exception:
         built = scenes.build("helmet", cfg)
     plan = built.plan
+    filt = os.environ.get("BENCH_FILTER")
+    if filt:
+        import dataclasses
+        plan = dataclasses.replace(plan, texture_filter=filt)
     history = frame_mod.RenderHistory.create(cfg)
 
     # pre-stage per-frame globals (animated camera) on device

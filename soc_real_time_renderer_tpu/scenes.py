@@ -86,11 +86,12 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     T = batch.num_triangles
 
     def _cap(grid):
-        # with 64px bins the medium path (bbox > 4 bins ~ >128px) is
-        # rare; pair stream sized for ~3 bins/triangle average
-        med_cap = max(8192, min(T // 4, 32768))
+        # with 64px bins + exact near-clip bboxes the medium path
+        # (bbox > 4 bins ~ >128px) is rare (tens of triangles at Sponza
+        # scale); pairs average well under 2 bins/triangle
+        med_cap = max(4096, min(T // 16, 8192))
         want = min(4 * T + med_cap * grid.med_slots,
-                   max(4 * T, 262144))
+                   max(2 * T, 262144))
         want = -(-want // grid.chunk) * grid.chunk
         return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
 

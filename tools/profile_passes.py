@@ -53,9 +53,23 @@ def main():
     def timed(name, fn, *inputs):
         def rep(*a):
             def body(i, c):
-                r = fn(*a)
-                leaf = jax.tree_util.tree_leaves(r)[0]
-                return c + leaf.reshape(-1)[0].astype(jnp.float32)
+                # make the first float input depend on the carry so XLA
+                # can neither hoist the body (LICM) nor dead-code any
+                # output (both skew timings badly — PERF.md)
+                perturbed = []
+                done = False
+                for x in a:
+                    if (not done and hasattr(x, "dtype")
+                            and x.dtype == jnp.float32):
+                        perturbed.append(x + c * 1e-30)
+                        done = True
+                    else:
+                        perturbed.append(x)
+                r = fn(*perturbed)
+                tot = jnp.float32(0)
+                for leaf in jax.tree_util.tree_leaves(r):
+                    tot += jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+                return c + tot
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
         f = jax.jit(rep)
         t0 = time.perf_counter()

@@ -19,7 +19,9 @@ upsample — ZERO gathers:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .sampling import shift
 
@@ -92,9 +94,9 @@ def upsample_tent(src, dst_h, dst_w):
     return up[:, :dst_h, :dst_w]
 
 
-def bloom(emissive, mip_count: int = 4):
-    """Full chain on the emissive target; additive upsample back into
-    each level (ONE+ONE) and finally into emissive."""
+def bloom_shifts(emissive, mip_count: int = 4):
+    """Shift-chain implementation (kept as the conv path's test
+    oracle)."""
     H, W = emissive.shape[1:]
     mips = []
     cur = emissive
@@ -107,3 +109,91 @@ def bloom(emissive, mip_count: int = 4):
         h, w = mips[i].shape[1:]
         cur = mips[i] + upsample_tent(cur, h, w)
     return emissive + upsample_tent(cur, H, W)
+
+
+# ---------------------------------------------------------------------------
+# Depthwise-convolution implementation (the fast path): the shift-chain
+# version materializes 13 shifted copies per level (~39 ms/frame at
+# 720p); a single depthwise conv runs the same filter in one pass.
+# Edge handling matches the clamp-to-edge samplers via edge padding.
+# ---------------------------------------------------------------------------
+
+
+def _edge_pad(img, lo_y, hi_y, lo_x, hi_x):
+    return jnp.pad(img, ((0, 0), (lo_y, hi_y), (lo_x, hi_x)), mode="edge")
+
+
+def _depthwise(img, kernel):
+    """img: (C, H', W') pre-padded; kernel: (kh, kw) -> VALID conv."""
+    C = img.shape[0]
+    k = jnp.asarray(kernel, jnp.float32)
+    k = jnp.broadcast_to(k[None, None], (C, 1) + k.shape)
+    out = jax.lax.conv_general_dilated(
+        img[None], k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+    return out[0]
+
+
+def _kernel_13tap():
+    k = np.zeros((5, 5), np.float32)
+    for ox, oy, w in _DOWN_TAPS:
+        k[oy + 2, ox + 2] += w
+    return k
+
+
+def _kernel_13tap_down():
+    """13-tap ⊗ 2x2 box: the stride-2 downsample kernel (6x6).
+
+    dst(x) = Σ_k w_k/4 Σ_{a,b∈{0,1}} src[2x + o_k + a]."""
+    k5 = _kernel_13tap()
+    k6 = np.zeros((6, 6), np.float32)
+    for a in range(2):
+        for b in range(2):
+            k6[a:a + 5, b:b + 5] += k5 * 0.25
+    return k6
+
+
+def _kernel_tent():
+    k = np.zeros((3, 3), np.float32)
+    for ox, oy, w in _TENT:
+        k[oy + 1, ox + 1] += w / 16.0
+    return k
+
+
+def downsample_13tap_conv(src, dst_h, dst_w):
+    H, W = src.shape[1:]
+    if (dst_h, dst_w) == (H, W):
+        return _depthwise(_edge_pad(src, 2, 2, 2, 2), _kernel_13tap())
+    p = _edge_pad(src, 2, 3, 2, 3)
+    C = src.shape[0]
+    k = jnp.asarray(_kernel_13tap_down(), jnp.float32)
+    k = jnp.broadcast_to(k[None, None], (C, 1, 6, 6))
+    out = jax.lax.conv_general_dilated(
+        p[None], k, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+    return out[0, :, :dst_h, :dst_w]
+
+
+def upsample_tent_conv(src, dst_h, dst_w):
+    t = _depthwise(_edge_pad(src, 1, 1, 1, 1), _kernel_tent())
+    if (dst_h, dst_w) == src.shape[1:]:
+        return t
+    up = _upsample2(t)
+    return up[:, :dst_h, :dst_w]
+
+
+def bloom(emissive, mip_count: int = 4):
+    """Full chain on the emissive target (conv fast path); additive
+    upsample back into each level (ONE+ONE) and finally into emissive."""
+    H, W = emissive.shape[1:]
+    mips = []
+    cur = emissive
+    for i in range(mip_count):
+        h, w = max(H >> i, 1), max(W >> i, 1)
+        cur = downsample_13tap_conv(cur, h, w)
+        mips.append(cur)
+    cur = mips[-1]
+    for i in range(mip_count - 2, -1, -1):
+        h, w = mips[i].shape[1:]
+        cur = mips[i] + upsample_tent_conv(cur, h, w)
+    return emissive + upsample_tent_conv(cur, H, W)

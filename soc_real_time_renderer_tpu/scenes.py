@@ -41,10 +41,42 @@ class BuiltScene:
     camera_target: np.ndarray
     animate: bool = False
 
+    def apply_input(self, inp, dt: float) -> None:
+        """Interactive fly-camera input (ControlledCamera3D), used by
+        the web viewer; disables the preset animation."""
+        from .camera import ControlledCamera3D
+        if not hasattr(self, "_fly"):
+            self._fly = ControlledCamera3D(camera=self.camera)
+            self._fly.position = np.asarray(self.camera_position,
+                                            np.float32).copy()
+            rel = self.camera_target - self.camera_position
+            self._fly.rotation = np.array(
+                [np.arctan2(rel[2], rel[0]),
+                 -np.arcsin(rel[1] / max(np.linalg.norm(rel), 1e-6)), 0.0],
+                np.float32)
+            self.animate = False
+        self._fly.update(inp, dt)
+
     def frame_globals(self, frame_index: int, dt: float = 1.0 / 60.0):
         """Per-frame host update: camera/jitter/lights/transforms —
         Application::update + Scene::update analog."""
         from .utils import mathutil as mu
+        if hasattr(self, "_fly"):
+            cam = camera_matrices(self.camera, self._fly.position,
+                                  frame_index, self.plan.config.width,
+                                  self.plan.config.height)
+            cam_prev = getattr(self, "_prev_cam", cam)
+            self._prev_cam = cam
+            lights = self.scene.update(dt)
+            g = ShaderGlobals.create(
+                camera=cam, camera_prev=cam_prev, lights=lights,
+                near_clip=self.camera.near_clip,
+                far_clip=self.camera.far_clip,
+                elapsed_time=np.float32(frame_index * dt),
+                delta_time=np.float32(dt),
+                frame_counter=np.int32(frame_index))
+            mm, nm = self.scene.transform_matrices()
+            return g, mm, nm
         pos = self.camera_position
         if self.animate:
             ang = 0.25 * frame_index * dt

@@ -60,16 +60,19 @@ def main():
         h2, probes = jax.lax.scan(step, hist, gb)
         return h2, probes
 
+    # NOTE: completion is forced with a float() readback of a reduced
+    # probe — jax.block_until_ready has been observed to return before
+    # execution finishes over the axon TPU tunnel (PERF.md §timing).
     runj = jax.jit(run, donate_argnames=("hist",))
     t0 = time.perf_counter()
     h2, probes = runj(built.batch, globals_batch, history, mm, nm)
-    jax.block_until_ready(probes)
+    float(probes.sum())
     compile_s = time.perf_counter() - t0
 
     history = frame_mod.RenderHistory.create(cfg)
     t0 = time.perf_counter()
     h2, probes = runj(built.batch, globals_batch, history, mm, nm)
-    jax.block_until_ready(probes)
+    float(probes.sum())
     total = time.perf_counter() - t0
 
     ms = total * 1e3 / FRAMES

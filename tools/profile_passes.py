@@ -50,6 +50,22 @@ def main():
 
     pool = GPUMetricPool()
 
+    # Completion MUST be forced with float() readback: block_until_ready
+    # has been observed to return before execution completes over the
+    # axon tunnel (PERF.md §timing).  The ~27 ms readback floor is
+    # measured once and subtracted.
+    def _floor():
+        f = jax.jit(lambda x: jnp.sum(x))
+        x = jnp.zeros((8, 128), jnp.float32)
+        float(f(x))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            float(f(x))
+        return (time.perf_counter() - t0) / 4
+
+    readback_floor = _floor()
+    print(f"(readback floor {readback_floor * 1e3:.1f} ms — subtracted)")
+
     def timed(name, fn, *inputs):
         def rep(*a):
             def body(i, c):
@@ -73,11 +89,12 @@ def main():
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
         f = jax.jit(rep)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*inputs))
+        float(f(*inputs))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*inputs))
-        ms = (time.perf_counter() - t0) * 1e3 / args.iters
+        float(f(*inputs))
+        ms = max(time.perf_counter() - t0 - readback_floor, 0.0) \
+            * 1e3 / args.iters
         pool.get(name).time_elapsed = ms
         print(f"{name:28s} {ms:9.3f} ms   (compile {compile_s:.0f}s)",
               flush=True)

@@ -65,22 +65,24 @@ def sample_screen(img, uv, method: str = "linear"):
         # barrier: chained-gather fusion analysis hangs the TPU compiler
         out = flat[:, jax.lax.optimization_barrier(yi * W + xi)]
     else:
+        # ONE fat gather over a prestacked 4-corner table: gather cost
+        # is per-INDEX and rows are nearly free (PERF.md), so stacking
+        # [img, img(x+1), img(y+1), img(x+1,y+1)] on the row axis turns
+        # the 4 bilinear corner gathers into one (~4x fewer indices).
+        # shift() clamps to edge, which matches the clip of x1i/y1i in
+        # the direct 4-gather form exactly (including uv outside [0,1]).
+        tab = jnp.concatenate(
+            [img, shift(img, 1, 0), shift(img, 0, 1), shift(img, 1, 1)],
+            axis=0).reshape(4 * C, H * W)
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
         x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-        x1i = jnp.clip(x0i + 1, 0, W - 1)
         y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-        y1i = jnp.clip(y0i + 1, 0, H - 1)
-        r0 = y0i * W
-        r1 = y1i * W
-        i00, i10, i01, i11 = jax.lax.optimization_barrier(
-            (r0 + x0i, r0 + x1i, r1 + x0i, r1 + x1i))
-        c00 = flat[:, i00]
-        c10 = flat[:, i10]
-        c01 = flat[:, i01]
-        c11 = flat[:, i11]
+        c = tab[:, jax.lax.optimization_barrier(y0i * W + x0i)]
+        c00, c10 = c[:C], c[C:2 * C]
+        c01, c11 = c[2 * C:3 * C], c[3 * C:]
         top = c00 * (1 - fx) + c10 * fx
         bot = c01 * (1 - fx) + c11 * fx
         out = top * (1 - fy) + bot * fy

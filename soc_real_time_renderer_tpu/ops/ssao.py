@@ -81,13 +81,9 @@ def ssao_generate(depth, normal, g, kernel_size: int = 26):
     h, w = H // 2, W // 2
     uv = sampling.grid_uv(h, w)                          # (2, h, w)
 
-    # half-res uv lands at full-res x = 2j + 0.5 exactly, so the linear
-    # resample is a 0.5/0.5 blend of columns 2j/2j+1 (rows likewise):
-    # identical to a 2x2 mean, which is a dense reshape-reduce instead of
-    # two 235k-index gathers (~7 ms/frame at 720p — PERF.md gather cost)
-    d = sampling.resize_half(depth[:h * 2, :w * 2])
+    d = sampling.sample_screen(depth, uv)
     frag_pos = view_from_depth(uv, d, g.camera.inv_projection)  # (3, h, w)
-    n_world = normalize3(sampling.resize_half(normal[:, :h * 2, :w * 2]))
+    n_world = normalize3(sampling.sample_screen(normal, uv))
     vm = g.camera.view[:3, :3]
     normal_v = jnp.stack([
         vm[0, 0] * n_world[0] + vm[0, 1] * n_world[1] + vm[0, 2] * n_world[2],

@@ -9,7 +9,8 @@ everything.  Per the measured cost model (PERF.md):
   ((T, 3, ...) layouts) so the per-frame path has zero vertex gathers —
   the index buffer disappears after load;
 * the four material textures are packed into ONE (16, N) uint8 atlas
-  (models/texture.pack_material_atlas) so a texture tap is one gather;
+  (models/texture.pack_material_atlas), then bilinear-expanded to (64, N)
+  (expand_atlas_bilinear) so a full bilinear texture tap is ONE gather;
 * per-triangle static shading constants (material id + has-flags) ride
   in a (4, T) row block concatenated into the per-frame G-buffer record
   (ops/gbuffer.py).
@@ -27,6 +28,7 @@ import numpy as np
 
 from .gltf import ModelData
 from .texture import PackedMaterialAtlas, decode_images_parallel, \
+    expand_atlas_bilinear, \
     pack_material_atlas
 
 
@@ -49,7 +51,7 @@ class SceneBatch:
     static_rows: jax.Array   # (5, T) f32: [material_id, has_normal,
     #                           has_metallic_roughness, has_emissive,
     #                           is_terrain]
-    atlas_packed: jax.Array  # (16, M * layer_stride) uint8
+    atlas_packed: jax.Array  # (64, M * layer_stride) uint8 (bilinear-expanded)
 
     @property
     def num_triangles(self):
@@ -172,6 +174,6 @@ def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
         tri_nrm=np.ascontiguousarray(nrm.transpose(1, 2, 0)),
         tri_uv=np.ascontiguousarray(uv.transpose(1, 2, 0)),
         tri_entity=ent, static_rows=has,
-        atlas_packed=atlas.packed,
+        atlas_packed=expand_atlas_bilinear(atlas),
     )
     return batch, atlas

@@ -227,6 +227,44 @@ def pack_material_atlas(materials, images_u8, size: int = 1024,
                                layer_stride=layer_stride, n_levels=n_levels)
 
 
+def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
+    """(16, N) packed atlas -> (64, N) with the three wrap-shifted
+    bilinear corner neighbours prestacked on the row axis:
+    rows [0:16] = texel (x, y), [16:32] = ((x+1) mod s, y),
+    [32:48] = (x, (y+1) mod s), [48:64] = both.
+
+    Measured gather cost is per-INDEX and fat rows are cheap (PERF.md:
+    64-row u8 gather = 12.5 ms/921k idx vs 4 x 7.2 ms for four 16-row
+    gathers), so this turns a bilinear material tap into ONE gather.
+    The wrap neighbour of every texel is a static function of its
+    (level, y, x), so the expansion is exact and done once at pack time.
+    """
+    size, n_levels = atlas.size, atlas.n_levels
+    stride, M = atlas.layer_stride, atlas.num_materials
+    mx = np.empty(stride, np.int64)
+    my = np.empty(stride, np.int64)
+    mxy = np.empty(stride, np.int64)
+    off = 0
+    for level in range(n_levels):
+        s = size >> level
+        y, x = np.mgrid[0:s, 0:s]
+        x1 = (x + 1) % s
+        y1 = (y + 1) % s
+        sl = slice(off, off + s * s)
+        mx[sl] = off + (y * s + x1).ravel()
+        my[sl] = off + (y1 * s + x).ravel()
+        mxy[sl] = off + (y1 * s + x1).ravel()
+        off += s * s
+    base = np.arange(M, dtype=np.int64)[:, None] * stride
+    p = atlas.packed
+    return np.concatenate([
+        p,
+        p[:, (base + mx[None, :]).ravel()],
+        p[:, (base + my[None, :]).ravel()],
+        p[:, (base + mxy[None, :]).ravel()],
+    ], axis=0)
+
+
 def build_scene_atlas(image_refs, size: int = 1024, workers: int = 8
                       ) -> tuple[TextureAtlas, int]:
     """Decode + linearize + pack all ImageRefs of a scene; appends the

@@ -89,9 +89,14 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
                         filter_mode: str = "bilinear"):
     """Sample all 4 material textures at once from the packed atlas.
 
-    atlas: (16, N) uint8; mid: (P,) int32; uv: (2, P); lod: (P,).
-    Returns (16, P) float32 in [0, 1] (rows as pack_material_atlas).
-    level_off(l) = (4S² - 4(S>>l)²)/3 — arithmetic, no table gathers.
+    atlas: (64, N) uint8 — the bilinear-expanded atlas
+    (models/texture.expand_atlas_bilinear): rows [0:16] = texel,
+    [16:32]/[32:48]/[48:64] = the wrap-shifted x+1 / y+1 / x+1,y+1
+    corners, so a bilinear tap is ONE fat gather instead of four
+    (gather cost is per-index — PERF.md).  mid: (P,) int32; uv: (2, P);
+    lod: (P,).  Returns (16, P) float32 in [0, 1] (rows as
+    pack_material_atlas).  level_off(l) = (4S² - 4(S>>l)²)/3 —
+    arithmetic, no table gathers.
     """
     uvw = uv - jnp.floor(uv)
     base_m = mid * layer_stride
@@ -105,22 +110,20 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
 
-        def tap(xi, yi):
+        def tap_idx(xi, yi):
             xw = jnp.remainder(xi, s)
             yw = jnp.remainder(yi, s)
-            idx = jax.lax.optimization_barrier(base_m + off + yw * s + xw)
-            return atlas[:, idx].astype(jnp.float32) / 255.0   # (16, P)
+            return jax.lax.optimization_barrier(base_m + off + yw * s + xw)
 
         if not bilinear:
-            return tap(jnp.round(x).astype(jnp.int32),
-                       jnp.round(y).astype(jnp.int32))
-        c00 = tap(x0i, y0i)
-        c10 = tap(x0i + 1, y0i)
-        c01 = tap(x0i, y0i + 1)
-        c11 = tap(x0i + 1, y0i + 1)
+            idx = tap_idx(jnp.round(x).astype(jnp.int32),
+                          jnp.round(y).astype(jnp.int32))
+            return atlas[:16, idx].astype(jnp.float32) / 255.0   # (16, P)
+        c = atlas[:, tap_idx(x0.astype(jnp.int32),
+                             y0.astype(jnp.int32))]
+        c = c.astype(jnp.float32) / 255.0                        # (64, P)
+        c00, c10, c01, c11 = c[:16], c[16:32], c[32:48], c[48:64]
         return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
                 + (c01 * (1 - fx) + c11 * fx) * fy)
 

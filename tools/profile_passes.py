@@ -144,12 +144,19 @@ def main():
                                                cfg.height // 2),
           lut, vis.depth)
     ssao_full = jnp.ones_like(vis.depth)
+    # pass the scene's STATIC light counts like render_frame does — the
+    # default 128+128 empty scan slots would add ~55 ms of artifact
+    pcfg = plan.config
     timed("composition",
           lambda d, a, e, n, s, sm: composition.compose(
-              g, d, a, e, n, s, sm, None), vis.depth, gbuf.albedo,
+              g, d, a, e, n, s, sm, None,
+              max_point_lights=pcfg.max_point_lights,
+              max_spot_lights=pcfg.max_spot_lights), vis.depth, gbuf.albedo,
           gbuf.emissive, gbuf.normal, ssao_full, svis.depth)
     hdr = composition.compose(g, vis.depth, gbuf.albedo, gbuf.emissive,
-                              gbuf.normal, ssao_full, svis.depth, None)
+                              gbuf.normal, ssao_full, svis.depth, None,
+                              max_point_lights=pcfg.max_point_lights,
+                              max_spot_lights=pcfg.max_spot_lights)
     timed("luminance histogram+resolve",
           lambda h_: exposure.auto_exposure(h_, jnp.float32(0.0), g), hdr)
     timed("taa", lambda c, d, v, pc, pv: taa.taa(

@@ -31,6 +31,7 @@ from ..config import RenderConfig, ShaderGlobals
 from ..models.scene_batch import SceneBatch
 from ..models.texture import PackedMaterialAtlas
 from ..ops import bloom as bloom_ops
+from ..ops import clouds as clouds_ops
 from ..ops import composition as comp_ops
 from ..ops import exposure as exposure_ops
 from ..ops import gbuffer as gbuf_ops

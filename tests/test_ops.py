@@ -123,3 +123,27 @@ def test_plastic_jitter_cycles():
     a = np.asarray(cfg.plastic_jitter(5, 64, 64))
     b = np.asarray(cfg.plastic_jitter(37, 64, 64))
     np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_sun_visibility_range():
+    """Cloud sun-march transmittance stays in (0, 1] and finite."""
+    import numpy as np
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.uniform(-2000, 2000, (9, 13, 3)).astype(np.float32))
+    p = p.at[..., 1].set(jnp.abs(p[..., 1]) + cl.CLOUD_MIN * 0.5)
+    sun = jnp.asarray(np.array([0.3, 0.8, -0.5], np.float32))
+    cam = jnp.asarray(np.array([10.0, 3.0, -7.0], np.float32))
+    a = np.asarray(cl._sun_visibility(p, sun, cam, jnp.float32(2.5), None))
+    assert np.isfinite(a).all() and (a > 0).all() and (a <= 1).all()
+
+
+def test_sky_lut_finite():
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+    import numpy as np
+
+    g = cfg.ShaderGlobals.create()
+    lut = np.asarray(cl.render_sky_lut(g, lut_w=64, lut_h=32))
+    assert lut.shape == (3, 32, 64)
+    assert np.isfinite(lut).all()

@@ -87,7 +87,8 @@ class FramePlan:
                interpret: bool | None = None):
         main = raster2.default_grid(config.width, config.height, scale)
         shadow = raster2.default_grid(config.shadow_resolution,
-                                      config.shadow_resolution, scale)
+                                      config.shadow_resolution, scale,
+                                      kind="shadow")
         return FramePlan(config=config, main_grid=main, shadow_grid=shadow,
                          atlas_size=atlas.size,
                          atlas_layer_stride=atlas.layer_stride,

@@ -53,19 +53,24 @@ def _pytree(cls):
 @_pytree
 @dataclass(frozen=True)
 class RenderHistory:
-    """Cross-frame carry (SURVEY.md §5 checkpoint/resume analysis)."""
-    previous_color: jax.Array      # (3, H, W) resolved colour pre-tonemap
-    previous_velocity: jax.Array   # (2, H, W)
+    """Cross-frame carry (SURVEY.md §5 checkpoint/resume analysis).
+
+    History rides in bfloat16, the RGBA16F history-target analog: the
+    TAA reprojection gather's cost scales with BYTES PER UNIQUE INDEX
+    (measured 85 ms for the 20-row f32 fetch at 1080p vs 14 ms for 5
+    rows), so halving the row bytes halves the dominant TAA cost.
+    """
+    previous_color: jax.Array      # (3, H, W) bf16 resolved colour pre-tonemap
+    previous_velocity: jax.Array   # (2, H, W) bf16
     exposure: jax.Array            # () f32 auto-exposure state
 
     @staticmethod
     def create(config: RenderConfig):
-        import numpy as np
         h, w = config.height, config.width
         return RenderHistory(
-            previous_color=np.zeros((3, h, w), np.float32),
-            previous_velocity=np.zeros((2, h, w), np.float32),
-            exposure=np.float32(0.0),
+            previous_color=jnp.zeros((3, h, w), jnp.bfloat16),
+            previous_velocity=jnp.zeros((2, h, w), jnp.bfloat16),
+            exposure=jnp.float32(0.0),
         )
 
 
@@ -182,6 +187,12 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
         n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter)
+    # materialize the G-buffer targets that downstream passes consume
+    # through shifts/resamples: without the barrier XLA fuses the whole
+    # G-buffer math into each consumer tap and RECOMPUTES it per tap
+    # (measured: TAA-off saved 160 ms when TAA itself costs 10 — the
+    # render-target boundary is semantic on GPU, explicit here)
+    gbuf = jax.tree_util.tree_map(jax.lax.optimization_barrier, gbuf)
 
     # ---- bloom (T14/T15) on the emissive target before composition
     emissive = gbuf.emissive
@@ -213,7 +224,6 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     clouds_full = None
     clouds_half = None
     if cfg.enable_clouds:
-        from ..ops import clouds as clouds_ops
         hw, hh = cfg.width // 2, cfg.height // 2
         lut = clouds_ops.render_sky_lut(g)
         clouds_half = clouds_ops.sky_from_lut(g, lut, vis.depth, hw, hh)
@@ -228,6 +238,10 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         enable_shadow=cfg.enable_shadows,
         max_point_lights=cfg.max_point_lights,
         max_spot_lights=cfg.max_spot_lights)
+    # render-target barrier: TAA shifts hdr 9 ways and the histogram
+    # reduces it — fused recompute of composition per consumer is the
+    # dominant glue cost at 1080p (PERF.md round-2 item 6)
+    hdr = jax.lax.optimization_barrier(hdr)
     if cfg.composite_ssr and ssr_img is not None:
         # the mix the reference comments out (composition.inl:213-216)
         rough = gbuf.metallic_roughness[0]
@@ -261,8 +275,8 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     color = tonemap_ops.tone_map(resolved, exposure, g)
 
     new_history = RenderHistory(
-        previous_color=resolved,
-        previous_velocity=velocity,
+        previous_color=resolved.astype(jnp.bfloat16),
+        previous_velocity=velocity.astype(jnp.bfloat16),
         exposure=exposure,
     )
     outputs = FrameOutputs(color=color, hdr=hdr, gbuffer=gbuf,

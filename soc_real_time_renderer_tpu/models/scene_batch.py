@@ -9,7 +9,7 @@ everything.  Per the measured cost model (PERF.md):
   ((T, 3, ...) layouts) so the per-frame path has zero vertex gathers —
   the index buffer disappears after load;
 * the four material textures are packed into ONE (16, N) uint8 atlas
-  (models/texture.pack_material_atlas), then bilinear-expanded to (64, N)
+  (models/texture.pack_material_atlas), then bilinear-expanded to (44, N)
   (expand_atlas_bilinear) so a full bilinear texture tap is ONE gather;
 * per-triangle static shading constants (material id + has-flags) ride
   in a (4, T) row block concatenated into the per-frame G-buffer record
@@ -51,7 +51,8 @@ class SceneBatch:
     static_rows: jax.Array   # (5, T) f32: [material_id, has_normal,
     #                           has_metallic_roughness, has_emissive,
     #                           is_terrain]
-    atlas_packed: jax.Array  # (64, M * layer_stride) uint8 (bilinear-expanded)
+    atlas_packed: jax.Array  # (44, M * layer_stride) uint8 (bilinear-expanded,
+    #                           11 sampled rows x 4 corners)
 
     @property
     def num_triangles(self):

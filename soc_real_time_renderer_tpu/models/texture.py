@@ -227,17 +227,29 @@ def pack_material_atlas(materials, images_u8, size: int = 1024,
                                layer_stride=layer_stride, n_levels=n_levels)
 
 
-def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
-    """(16, N) packed atlas -> (64, N) with the three wrap-shifted
-    bilinear corner neighbours prestacked on the row axis:
-    rows [0:16] = texel (x, y), [16:32] = ((x+1) mod s, y),
-    [32:48] = (x, (y+1) mod s), [48:64] = both.
+# rows of the packed (16, N) atlas that shading actually reads
+# (g_buffer_generation.inl: albedo.rgb :194, normal.rgb :198-213,
+# metallic-roughness .g/.b :219-224, emissive.rgb :194): gather cost
+# scales with bytes per index (PERF.md), so the device table drops the
+# 5 never-read channels per corner.
+SAMPLED_ROWS = (0, 1, 2,    # albedo RGB
+                4, 5, 6,    # normal RGB
+                9, 10,      # metallic-roughness G, B
+                12, 13, 14)  # emissive RGB
+N_SAMPLED = len(SAMPLED_ROWS)
 
-    Measured gather cost is per-INDEX and fat rows are cheap (PERF.md:
-    64-row u8 gather = 12.5 ms/921k idx vs 4 x 7.2 ms for four 16-row
-    gathers), so this turns a bilinear material tap into ONE gather.
-    The wrap neighbour of every texel is a static function of its
-    (level, y, x), so the expansion is exact and done once at pack time.
+
+def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
+    """(16, N) packed atlas -> (44, N) device table: the 11 sampled
+    rows (SAMPLED_ROWS) x the four bilinear corners prestacked on the
+    row axis: rows [0:11] = texel (x, y), [11:22] = ((x+1) mod s, y),
+    [22:33] = (x, (y+1) mod s), [33:44] = both.
+
+    Measured gather cost is per-INDEX with a per-word row cost
+    (PERF.md), so this turns a bilinear material tap into ONE gather of
+    the minimum byte width.  The wrap neighbour of every texel is a
+    static function of its (level, y, x), so the expansion is exact and
+    done once at pack time.
     """
     size, n_levels = atlas.size, atlas.n_levels
     stride, M = atlas.layer_stride, atlas.num_materials
@@ -256,7 +268,7 @@ def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
         mxy[sl] = off + (y1 * s + x1).ravel()
         off += s * s
     base = np.arange(M, dtype=np.int64)[:, None] * stride
-    p = atlas.packed
+    p = atlas.packed[list(SAMPLED_ROWS)]
     return np.concatenate([
         p,
         p[:, (base + mx[None, :]).ravel()],

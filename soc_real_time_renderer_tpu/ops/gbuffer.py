@@ -89,14 +89,14 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
                         filter_mode: str = "bilinear"):
     """Sample all 4 material textures at once from the packed atlas.
 
-    atlas: (64, N) uint8 — the bilinear-expanded atlas
-    (models/texture.expand_atlas_bilinear): rows [0:16] = texel,
-    [16:32]/[32:48]/[48:64] = the wrap-shifted x+1 / y+1 / x+1,y+1
-    corners, so a bilinear tap is ONE fat gather instead of four
-    (gather cost is per-index — PERF.md).  mid: (P,) int32; uv: (2, P);
-    lod: (P,).  Returns (16, P) float32 in [0, 1] (rows as
-    pack_material_atlas).  level_off(l) = (4S² - 4(S>>l)²)/3 —
-    arithmetic, no table gathers.
+    atlas: (44, N) uint8 — the bilinear-expanded atlas
+    (models/texture.expand_atlas_bilinear): the 11 sampled rows
+    (texture.SAMPLED_ROWS: albedo RGB, normal RGB, mr GB, emissive
+    RGB) x 4 wrap-shifted bilinear corners, so a bilinear tap is ONE
+    fat gather of minimum byte width (gather cost ~ bytes/index —
+    PERF.md).  mid: (P,) int32; uv: (2, P); lod: (P,).  Returns
+    (11, P) float32 in [0, 1] in SAMPLED_ROWS order.
+    level_off(l) = (4S² - 4(S>>l)²)/3 — arithmetic, no table gathers.
     """
     uvw = uv - jnp.floor(uv)
     base_m = mid * layer_stride
@@ -119,11 +119,11 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
         if not bilinear:
             idx = tap_idx(jnp.round(x).astype(jnp.int32),
                           jnp.round(y).astype(jnp.int32))
-            return atlas[:16, idx].astype(jnp.float32) / 255.0   # (16, P)
+            return atlas[:11, idx].astype(jnp.float32) / 255.0   # (11, P)
         c = atlas[:, tap_idx(x0.astype(jnp.int32),
                              y0.astype(jnp.int32))]
-        c = c.astype(jnp.float32) / 255.0                        # (64, P)
-        c00, c10, c01, c11 = c[:16], c[16:32], c[32:48], c[48:64]
+        c = c.astype(jnp.float32) / 255.0                        # (44, P)
+        c00, c10, c01, c11 = c[:11], c[11:22], c[22:33], c[33:44]
         return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
                 + (c01 * (1 - fx) + c11 * fx) * fy)
 
@@ -206,15 +206,15 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
 
     tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
                               layer_stride=layer_stride, n_levels=n_levels,
-                              filter_mode=filter_mode)     # (16, P)
+                              filter_mode=filter_mode)     # (11, P)
     albedo_t = _srgb_to_linear(tex[0:3])
-    normal_t = tex[4:7]
-    mr_t = tex[8:12]
-    emissive_t = _srgb_to_linear(tex[12:15])
+    normal_t = tex[3:6]
+    mr_gb = tex[6:8]
+    emissive_t = _srgb_to_linear(tex[8:11])
 
     emissive = emissive_t * has_e
     albedo = albedo_t + emissive                       # inl:194
-    mr = jnp.stack([mr_t[1], mr_t[2]]) * has_mr
+    mr = mr_gb * has_mr
 
     # normal mapping (inl:198-213)
     n = normalize3(nrm)

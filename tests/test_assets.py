@@ -96,7 +96,7 @@ def test_scene_batch_planar_layout():
     assert batch.tri_pos.shape == (3, 3, T)
     assert batch.tri_uv.shape == (3, 2, T)
     assert batch.static_rows.shape == (5, T)
-    assert batch.atlas_packed.shape[0] == 64
+    assert batch.atlas_packed.shape[0] == 44
 
 
 def test_split_large_triangles():

@@ -115,6 +115,11 @@ class FrameOutputs:
     clouds: jax.Array | None
     bloom: jax.Array | None
     ssr: jax.Array | None
+    overflow: jax.Array            # () int32 raster2.OVERFLOW_* bitmask
+    #                                 (main | shadow views) — nonzero
+    #                                 means a static binning cap dropped
+    #                                 fragments this frame; see
+    #                                 raster2.build_pairs.
 
 
 def transform_triangles(batch: SceneBatch, model_mats, normal_mats):
@@ -174,11 +179,13 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
 
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
+    overflow = vis.overflow
     if cfg.enable_shadows:
         sclip = _clip_of(world, g.sun.projection_view)
         svis, _ = raster2.rasterize(sclip, plan.shadow_grid, cull="back",
                                     interpret=plan.interpret)
         shadow_map = svis.depth
+        overflow = overflow | svis.overflow
 
     # ---- deferred G-buffer resolve (T6 fragment semantics)
     records = gbuf_ops.build_shading_records(
@@ -281,7 +288,8 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     )
     outputs = FrameOutputs(color=color, hdr=hdr, gbuffer=gbuf,
                            shadow_map=shadow_map, ssao=ssao,
-                           clouds=clouds_half, bloom=bloom, ssr=ssr_img)
+                           clouds=clouds_half, bloom=bloom, ssr=ssr_img,
+                           overflow=overflow)
     return outputs, new_history
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..utils.vec import cross3, normalize3
 from .raster2 import PlanarSetup
-from .raster import VisibilityBuffer
+from .raster2 import VisibilityBuffer
 
 SKY_CLEAR = (0.2, 0.4, 1.0)  # g_buffer_generation.inl:80
 

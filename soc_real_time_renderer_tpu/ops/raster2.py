@@ -40,13 +40,36 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raster import VisibilityBuffer
-
 W_EPS = 1e-6
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+@dataclass(frozen=True)
+class VisibilityBuffer:
+    """Per-pixel raster output (visibility-buffer style): attribute
+    interpolation is deferred to ops/gbuffer.py, keeping the raster
+    inner loop at 5 linear functionals per triangle."""
+    depth: jax.Array    # (H, W) float32 in [0, 1]; 1.0 where no hit
+    tri_id: jax.Array   # (H, W) int32 triangle index; -1 where no hit
+    overflow: jax.Array  # () int32 bitmask: OVERFLOW_* bits set when any
+    #                       static cap truncated fragments this frame.
+    #                       The reference (hardware raster) never drops
+    #                       fragments; this flag makes our cap-based
+    #                       binning loud instead of silently holey.
+
+
+# overflow bitmask bits (VisibilityBuffer.overflow)
+OVERFLOW_PAIRS = 1       # sorted pair stream exceeded BinGrid.pair_cap
+OVERFLOW_MED_CAP = 2     # more medium triangles than BinGrid.med_cap
+OVERFLOW_MED_SLOTS = 4   # a medium triangle covered > med_slots bins
+
+
+jax.tree_util.register_dataclass(
+    VisibilityBuffer, data_fields=["depth", "tri_id", "overflow"],
+    meta_fields=[])
 
 
 @dataclass(frozen=True)
@@ -158,6 +181,13 @@ class BinGrid:
     med_cap: int = 8192         # max "medium" triangles (bbox > 4 bins)
     med_slots: int = 64         # bins covered per medium triangle
 
+    def __post_init__(self):
+        # the resolve kernel DMAs chunk-aligned windows of the record
+        # stream; a pair_cap below/unaligned to chunk would slice past
+        # the end of the (16, pair_cap) records array
+        assert self.pair_cap >= self.chunk
+        assert self.pair_cap % self.chunk == 0
+
     @property
     def bx(self):
         return _cdiv(self.width, self.bin_size * self.group) * self.group
@@ -208,7 +238,10 @@ def build_records(setup: PlanarSetup) -> jax.Array:
 
 def build_pairs(setup: PlanarSetup, grid: BinGrid):
     """Returns (starts (B+1,) i32 clamped to pair_cap, sorted_tids
-    (S,) i32) where S = 4T + med_cap*med_slots."""
+    (S,) i32, overflow () i32 bitmask) where S = 4T + med_cap*med_slots.
+
+    overflow reports every silent-truncation hazard of the static caps
+    (OVERFLOW_PAIRS / OVERFLOW_MED_CAP / OVERFLOW_MED_SLOTS)."""
     T = setup.adj.shape[1]
     bs = grid.bin_size
     BX, BY, B = grid.bx, grid.by, grid.num_bins
@@ -250,8 +283,16 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
                          (grid.med_slots, grid.med_cap)).reshape(-1)])
     sk, st = jax.lax.sort((keys, tids), num_keys=1)
     starts = jnp.searchsorted(sk, jnp.arange(B + 1, dtype=jnp.int32))
+    total_pairs = starts[B]
     starts = jnp.minimum(starts, grid.pair_cap).astype(jnp.int32)
-    return starts, st
+
+    med_count = jnp.sum(med.astype(jnp.int32))
+    overflow = (
+        jnp.where(total_pairs > grid.pair_cap, OVERFLOW_PAIRS, 0)
+        | jnp.where(med_count > grid.med_cap, OVERFLOW_MED_CAP, 0)
+        | jnp.where(jnp.any(med & (nb > grid.med_slots)),
+                    OVERFLOW_MED_SLOTS, 0)).astype(jnp.int32)
+    return starts, st, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -335,8 +376,9 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
                 ib.reshape(rows_per_sub, bs))
 
 
-def resolve(starts, recs, grid: BinGrid, interpret: bool = False
-            ) -> VisibilityBuffer:
+def resolve(starts, recs, grid: BinGrid, interpret: bool = False):
+    """Pallas bin resolve -> (depth (H', W'), tri_id (H', W')), padded
+    to the bin grid (caller crops to the viewport)."""
     bs, G = grid.bin_size, grid.group
     BY, BX = grid.by, grid.bx
     gspec = pltpu.PrefetchScalarGridSpec(
@@ -359,8 +401,7 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False
         grid_spec=gspec,
         interpret=interpret,
     )(starts, recs)
-    return VisibilityBuffer(depth=depth[:grid.height, :grid.width],
-                            tri_id=tid[:grid.height, :grid.width])
+    return depth, tid
 
 
 def rasterize(clip, grid: BinGrid, cull: str = "front",
@@ -373,10 +414,22 @@ def rasterize(clip, grid: BinGrid, cull: str = "front",
         interpret = jax.default_backend() not in ("tpu", "axon")
     T = clip.shape[2]
     setup = triangle_setup_planar(clip, grid.width, grid.height, cull)
-    starts, sorted_tids = build_pairs(setup, grid)
+    starts, sorted_tids, overflow = build_pairs(setup, grid)
     records = build_records(setup)
-    recs = records[:, jnp.minimum(sorted_tids[:grid.pair_cap], T)]
-    vis = resolve(starts, recs, grid, interpret=interpret)
+    # effective record width: the sorted pair stream S can be shorter
+    # than pair_cap for tiny scenes; the kernel DMAs chunk-aligned
+    # windows, so the record array must span a chunk multiple >= any
+    # start offset.
+    S = sorted_tids.shape[0]
+    cap = min(grid.pair_cap, _cdiv(S, grid.chunk) * grid.chunk)
+    recs = records[:, jnp.minimum(sorted_tids[:min(S, cap)], T)]
+    if recs.shape[1] < cap:
+        recs = jnp.pad(recs, ((0, 0), (0, cap - recs.shape[1])))
+    rgrid = dataclasses.replace(grid, pair_cap=cap)
+    depth, tid = resolve(starts, recs, rgrid, interpret=interpret)
+    vis = VisibilityBuffer(depth=depth[:grid.height, :grid.width],
+                           tri_id=tid[:grid.height, :grid.width],
+                           overflow=overflow)
     return vis, setup
 
 

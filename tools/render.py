@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--dump-passes", action="store_true")
     ap.add_argument("--no-shadows", action="store_true")
+    ap.add_argument("--pair-cap", type=int, default=None,
+                    help="override BinGrid.pair_cap (debug: exercise "
+                         "the overflow detector)")
     args = ap.parse_args()
 
     if args.platform:
@@ -46,6 +49,14 @@ def main():
         cfg = cfg.replace(enable_shadows=False)
 
     built = scenes.build(args.scene, cfg)
+    if args.pair_cap is not None:
+        import dataclasses
+        built.plan = dataclasses.replace(
+            built.plan,
+            main_grid=dataclasses.replace(built.plan.main_grid,
+                                          pair_cap=args.pair_cap),
+            shadow_grid=dataclasses.replace(built.plan.shadow_grid,
+                                            pair_cap=args.pair_cap))
     render = frame_mod.make_render_fn(built.plan)
     history = frame_mod.RenderHistory.create(cfg)
 
@@ -63,6 +74,12 @@ def main():
 
     image_io.save_png(args.out, np.asarray(outputs.color))
     print(f"wrote {args.out} (first-frame incl. compile: {t_compile*1e3:.0f} ms)")
+    ov = int(outputs.overflow)
+    if ov:
+        bits = [name for bit, name in [(1, "PAIRS"), (2, "MED_CAP"),
+                                       (4, "MED_SLOTS")] if ov & bit]
+        print(f"WARNING: raster bin caps overflowed ({'|'.join(bits)}) — "
+              f"fragments were dropped; raise BinGrid caps (scenes.py)")
 
     if args.dump_passes:
         base = os.path.splitext(args.out)[0]

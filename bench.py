@@ -56,7 +56,12 @@ def main():
     def run(batch, gb, hist, mm, nm):
         def step(h, g):
             out, h2 = frame_mod.render_frame(plan, batch, g, h, mm, nm)
-            return h2, out.color[:, ::64, ::64]  # tiny per-frame probe
+            probe = out.color[:, ::64, ::64].sum()  # tiny per-frame probe
+            # consume the HiZ pyramid tops so the T2/T3 parity passes
+            # aren't dead-code-eliminated out of the measured frame
+            if out.hiz_min is not None:
+                probe = probe + out.hiz_min[-1].sum() + out.hiz_max[-1].sum()
+            return h2, probe
         h2, probes = jax.lax.scan(step, hist, gb)
         return h2, probes
 

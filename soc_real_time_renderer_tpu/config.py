@@ -274,6 +274,10 @@ class RenderConfig:
     # Pass toggles (reference defaults: DoF & display disabled, SSR
     # computed but not composited, volumetric light zeroed).
     enable_shadows: bool = True
+    enable_hiz: bool = True  # Min/Max HiZ pyramids every frame, parity
+    #                          with renderer.cpp:988-1001 (their only
+    #                          declared consumer, SSR, never reads them
+    #                          — screen_space_reflection.inl:17-18)
     enable_terrain: bool = False
     enable_ssao: bool = True
     enable_ssr: bool = False  # op exists; reference computes-but-never-uses it

@@ -115,6 +115,9 @@ class FrameOutputs:
     clouds: jax.Array | None
     bloom: jax.Array | None
     ssr: jax.Array | None
+    hiz_min: list | None           # HiZ pyramids (T2/T3,
+    hiz_max: list | None           #   generate_hiz.glsl:17-99); level 0
+    #                                 is half-res, down to 1x1
     overflow: jax.Array            # () int32 raster2.OVERFLOW_* bitmask
     #                                 (main | shadow views) — nonzero
     #                                 means a static binning cap dropped
@@ -176,6 +179,16 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     clip = _clip_of(world, g.camera.projection_view)
     vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
                                    interpret=plan.interpret)
+
+    # ---- Min/Max HiZ pyramids (T2/T3, renderer.cpp:988-1001): the
+    # reference dispatches both every frame even though nothing reads
+    # them (SSR declares-but-ignores); computed here for parity and
+    # exported for debug/SSR extensions.
+    hiz_min = hiz_max = None
+    if cfg.enable_hiz:
+        from ..ops import hiz as hiz_ops
+        hiz_min = hiz_ops.build_hiz(vis.depth, "min")
+        hiz_max = hiz_ops.build_hiz(vis.depth, "max")
 
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
@@ -289,6 +302,7 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     outputs = FrameOutputs(color=color, hdr=hdr, gbuffer=gbuf,
                            shadow_map=shadow_map, ssao=ssao,
                            clouds=clouds_half, bloom=bloom, ssr=ssr_img,
+                           hiz_min=hiz_min, hiz_max=hiz_max,
                            overflow=overflow)
     return outputs, new_history
 

@@ -53,3 +53,8 @@ def test_render_frame_shapes(cfg_kw):
     assert out.gbuffer.velocity.shape == (2, H, W)
     assert hist2.previous_color.shape == (3, H, W)
     assert hist2.exposure.shape == ()
+    # HiZ pyramids ride every frame (renderer.cpp:988-1001 parity):
+    # level 0 half-res, last level 1x1
+    assert out.hiz_min[0].shape == (H // 2, W // 2)
+    assert out.hiz_max[-1].shape == (1, 1)
+    assert out.overflow.shape == ()

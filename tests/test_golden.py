@@ -86,6 +86,83 @@ def test_lighting_and_tonemap(tiny_frame):
     assert hdr[:, hit].mean() < 1.0
 
 
+@pytest.fixture(scope="module")
+def full_frame():
+    """Every pass enabled (SSR computed AND composited, clouds on) —
+    pins per-pass statistics so quirk regressions in the rarely-default
+    paths fail loudly."""
+    cfg = cfgm.RenderConfig(width=128, height=64, shadow_resolution=128,
+                            enable_ssr=True, composite_ssr=True,
+                            max_point_lights=1, max_spot_lights=1)
+    batch, atlas = build_scene_batch([proc.unit_quad(z=-1.0, size=0.6)],
+                                     atlas_size=64)
+    plan = fm.FramePlan.create(cfg, atlas, interpret=True)
+    plan = dataclasses.replace(
+        plan,
+        main_grid=dataclasses.replace(plan.main_grid, pair_cap=1024,
+                                      med_cap=64),
+        shadow_grid=dataclasses.replace(plan.shadow_grid, pair_cap=1024,
+                                        med_cap=64))
+    cam = Camera3D()
+    cam.resize(cfg.width, cfg.height)
+    import soc_real_time_renderer_tpu.utils.mathutil as mu
+    cam.view_mat = mu.look_at([0, 0, 1.0], [0, 0, -1], [0, 1, 0])
+    cm = camera_matrices(cam, [0, 0, 1.0], 1, cfg.width, cfg.height)
+    g = cfgm.ShaderGlobals.create(camera=cm, camera_prev=cm,
+                                  frame_counter=np.int32(1))
+    hist = fm.RenderHistory.create(cfg)
+    mm = np.eye(4, dtype=np.float32)[None]
+    out, hist2 = fm.render_frame(plan, batch, g, hist, mm, mm)
+    return out, hist2
+
+
+def test_full_pipeline_pass_stats(full_frame):
+    out, _ = full_frame
+    hit = np.asarray(out.gbuffer.depth) < 1.0
+
+    # SSAO: away from edges the flat quad is unoccluded (~1); valid range
+    ssao = np.asarray(out.ssao)
+    assert np.isfinite(ssao).all()
+    assert 0.0 <= ssao.min() and ssao.max() <= 1.0 + 1e-5
+    assert ssao.mean() > 0.8
+
+    # SSR exists and is finite; non-metallic quad passes albedo through
+    # (screen_space_reflection.inl:169-174)
+    ssr = np.asarray(out.ssr)
+    assert np.isfinite(ssr).all()
+    alb = np.asarray(out.gbuffer.albedo)
+    np.testing.assert_allclose(ssr[:, hit], alb[:, hit], atol=5e-2)
+
+    # clouds: sky pixels get atmosphere — blue channel dominates red
+    cl = np.asarray(out.clouds)
+    assert np.isfinite(cl).all()
+    assert cl.shape[1:] == (32, 64)  # half res
+    assert cl[2].mean() > cl[0].mean()
+
+    # hdr sky substitution: where depth==1 the hdr equals the upsampled
+    # cloud colour (composition.inl:220-222)
+    hdr = np.asarray(out.hdr)
+    assert np.isfinite(hdr).all()
+    assert hdr[:, ~hit].std() > 1e-4  # sky has structure, not a clear
+
+    # bloom target exists and adds energy over raw emissive
+    bl = np.asarray(out.bloom)
+    assert np.isfinite(bl).all() and bl.min() >= 0.0
+
+    # HiZ pyramids bracket the depth buffer
+    d = np.asarray(out.gbuffer.depth)
+    assert float(out.hiz_min[-1][0, 0]) == pytest.approx(d.min(), abs=1e-6)
+    assert float(out.hiz_max[-1][0, 0]) == pytest.approx(d.max(), abs=1e-6)
+
+    # no raster cap overflow in the tiny scene
+    assert int(out.overflow) == 0
+
+    # final colour in range
+    color = np.asarray(out.color)
+    assert np.isfinite(color).all()
+    assert 0.0 <= color.min() and color.max() <= 1.0
+
+
 def test_history_carry(tiny_frame):
     out, hist2 = tiny_frame
     assert np.isfinite(float(hist2.exposure))

@@ -69,7 +69,9 @@ def test_hiz_pyramid():
 
 def test_exposure_histogram_blacks_and_target():
     g = cfg.ShaderGlobals.create()
-    hdr = jnp.full((3, 32, 32), 0.214, jnp.float32)
+    # 0.25 grey: log2(lum) = -2 exactly, mid-bin (0.214 sits 2e-6 from a
+    # bin boundary and flips bins across compilers)
+    hdr = jnp.full((3, 32, 32), 0.25, jnp.float32)
     hist = exposure.luminance_histogram(hdr, g.log_min_luminance,
                                         g.log_max_luminance)
     assert int(hist.sum()) == 32 * 32
@@ -77,15 +79,30 @@ def test_exposure_histogram_blacks_and_target():
     hb = exposure.luminance_histogram(black, g.log_min_luminance,
                                       g.log_max_luminance)
     assert int(hb[0]) == 64  # lum < 1e-3 -> bin 0
-    # at the target luminance the converged exposure ~ 0
+    # converged exposure must equal the CLOSED-FORM fixed point of the
+    # reference formula (resolve_luminance_histogram.inl:72-80) for a
+    # constant-luminance image: every pixel lands in one bin b, so
+    #   log2_mean = (b-1)/255*(log_max-log_min)+log_min
+    #   target    = log2(target_lum) - log2_mean
+    # and the exponential smoothing converges to `target` exactly.
+    lmin = float(g.log_min_luminance)
+    lmax = float(g.log_max_luminance)
+    assert lmin > lmax  # the reference's inverted-remap quirk
+    n = 256
+    lum = 0.25  # grey dotted with (0.2126,0.7152,0.0722) sums to 1
+    mapped = (np.log2(lum) - lmin) / (lmax - lmin) * (n - 2) + 1.0
+    b = float(np.clip(np.int32(mapped), 0, n - 1))
+    log2_mean = (b - 1.0) / (n - 1.0) * (lmax - lmin) + lmin
+    expected = np.log2(float(g.target_luminance)) - log2_mean
+    # the closed form is a FIXED POINT: one more step leaves it alone
+    stay = exposure.auto_exposure(hdr, jnp.float32(expected), g)
+    assert abs(float(stay) - expected) < 1e-5
+    # and iteration converges monotonically toward it
     exp = exposure.auto_exposure(hdr, jnp.float32(0.0), g)
+    d0 = abs(float(exp) - expected)
     for _ in range(300):
         exp = exposure.auto_exposure(hdr, exp, g)
-    nxt = exposure.auto_exposure(hdr, exp, g)
-    # converged fixed point, finite (the reference's inverted remap
-    # makes the absolute value nonzero; stability is the contract)
-    assert np.isfinite(float(exp))
-    assert abs(float(nxt) - float(exp)) < 1e-3
+    assert abs(float(exp) - expected) < 0.2 * max(d0, 1e-6)
 
 
 def test_tonemap_agx_range_and_monotonic():
@@ -104,19 +121,44 @@ def test_tonemap_agx_range_and_monotonic():
     np.testing.assert_allclose(z, 0.0, atol=1e-5)
 
 
-def test_taa_static_scene_converges():
+def test_taa_static_scene_exact():
+    """Static scene + identical history: the output is EXACTLY
+    0.1*neighbors[5] + 0.9*history (temporal_antialiasing.inl:172-189):
+    velocity 0 everywhere -> history fetch is the identity, the AABB
+    clamp passes the centre tap through, accum = min(0.1, counter),
+    disocclusion = 0."""
     rng = np.random.default_rng(0)
     color = jnp.asarray(rng.random((3, 32, 64), dtype=np.float32))
     depth = jnp.full((32, 64), 0.5, jnp.float32)
     vel = jnp.zeros((2, 32, 64), jnp.float32)
     out = taa.taa(color, depth, vel, color, vel, jnp.int32(10), (32, 64))
-    # static scene + identical history -> output == neighbors[5] sample
-    expected = np.asarray(sampling.shift(color, 1, 0))
-    got = np.asarray(out)
-    # history clamp + blend of identical values keeps result within AABB
-    assert np.isfinite(got).all()
-    inner = got[:, 2:-2, 2:-2]
-    assert inner.min() >= -1e-4 and inner.max() <= 1.0 + 1e-4
+    # neighbors[5] quirk: the (x=+1, y=0) tap, not the centre
+    center = np.asarray(sampling.shift(color, 1, 0))
+    expected = 0.1 * center + 0.9 * np.asarray(color)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+    # first frame (counter 0): accum = 0 -> pure history
+    out0 = taa.taa(color, depth, vel, color, vel, jnp.int32(0), (32, 64))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(color),
+                               atol=1e-5)
+
+
+def test_taa_disocclusion_falls_back_to_blur():
+    """A history whose stored velocity disagrees with the current
+    velocity by >0.1 uv must blend fully to the blurred colour
+    (temporal_antialiasing.inl:186-189)."""
+    rng = np.random.default_rng(1)
+    color = jnp.asarray(rng.random((3, 32, 64), dtype=np.float32))
+    depth = jnp.full((32, 64), 0.5, jnp.float32)
+    vel = jnp.zeros((2, 32, 64), jnp.float32)
+    prev_vel = jnp.full((2, 32, 64), 0.2, jnp.float32)
+    out = taa.taa(color, depth, vel, color, prev_vel, jnp.int32(10),
+                  (32, 64))
+    blurred = np.zeros_like(np.asarray(color))
+    for y in (1, 0, -1):
+        for x in (1, 0, -1):
+            w = taa.GAUSS[(y + 1) * 3 + (x + 1)]
+            blurred += w * np.asarray(sampling.shift(color, x, y))
+    np.testing.assert_allclose(np.asarray(out), blurred, atol=1e-5)
 
 
 def test_plastic_jitter_cycles():

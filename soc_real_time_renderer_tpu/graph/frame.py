@@ -307,20 +307,6 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     return outputs, new_history
 
 
-@functools.lru_cache(maxsize=1)
-def _default_noise():
-    """assets/Clouds/noise.png (R channel) for the cloud fBm."""
-    import numpy as np
-    try:
-        from ..models.texture import decode_image
-        data = open("/root/reference/assets/Clouds/noise.png", "rb").read()
-        img = decode_image(data)
-        return jnp.asarray(img[..., 0].astype(np.float32) / 255.0)
-    except Exception:
-        rng = np.random.default_rng(0)
-        return jnp.asarray(rng.random((128, 128), dtype=np.float32))
-
-
 def make_render_fn(plan: FramePlan):
     """Jitted frame function with history donated (the frames-in-flight
     ring buffer analog: TAA/exposure state updates in place)."""

@@ -374,7 +374,9 @@ def render_clouds(g, depth_full, noise_tex, width: int, height: int):
         jnp.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-12)
     sun_dir = -g.sun.direction
 
-    d = sampling.sample_screen(depth_full, ray_uv)
+    # sample_screen expects PLANAR (2, h, w) uv
+    d = sampling.sample_screen(depth_full,
+                               jnp.stack([ray_uv[..., 0], ray_uv[..., 1]]))
     sky_mask = d == 1.0
 
     color = jnp.broadcast_to(jnp.array([0.2, 0.4, 1.0], jnp.float32),

@@ -189,3 +189,30 @@ def test_sky_lut_finite():
     lut = np.asarray(cl.render_sky_lut(g, lut_w=64, lut_h=32))
     assert lut.shape == (3, 32, 64)
     assert np.isfinite(lut).all()
+
+
+def test_sky_lut_matches_exact_path():
+    """The production LUT path must approximate the exact per-pixel
+    march (cloud_rendering.inl port) within tolerance: the cloud field
+    is camera-relative in xz (:237) so the sky is a pure function of
+    ray direction — the LUT only loses angular resolution + dither."""
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+
+    w, h = 32, 16
+    cam = Camera3D()
+    cam.resize(2 * w, 2 * h)
+    g = cfg.ShaderGlobals.create(
+        camera=camera_matrices(cam, [0, 2, 0], 1, 2 * w, 2 * h))
+    depth = jnp.ones((2 * h, 2 * w), jnp.float32)  # all sky
+
+    exact = np.asarray(cl.render_clouds(g, depth, None, w, h))
+    lut = cl.render_sky_lut(g, lut_w=256, lut_h=128)
+    approx = np.asarray(cl.sky_from_lut(g, lut, depth, w, h))
+
+    assert np.isfinite(exact).all() and np.isfinite(approx).all()
+    # pointwise within a generous tolerance (dither + LUT interpolation),
+    # and closely matching in the mean
+    scale = max(float(np.abs(exact).max()), 1e-3)
+    assert np.abs(approx - exact).mean() / scale < 0.08
+    assert abs(approx.mean() - exact.mean()) / scale < 0.04

@@ -66,13 +66,15 @@ def _noise(u, v, freq):
     return x1 + (x2 - x1) * xv
 
 
-def ssao_generate(depth, normal, g, kernel_size: int = 26):
-    """depth: (H, W) full-res; normal: (3, H, W) full-res world normals;
-    output: (H/2, W/2) occlusion (half-res like renderer.cpp:827-831).
+def _preamble(depth, normal, g, dense_resample: bool = False):
+    """Shared per-half-res-pixel setup (ssao_generation.inl:174-192):
+    view-space fragment position + procedural-noise TBN.
 
-    Planar port of ssao_generation.inl:174-214: view-space hemisphere
-    sampling with the hardcoded kernel, procedural-noise random vector,
-    smoothstep range check, occlusion = 1 - sum/kernel_size.
+    dense_resample: the half-res taps at half-pixel centres are EXACTLY
+    the 2x2 mean, so resize_half is an exact gather-free rewrite of the
+    bilinear sample_screen.  Only safe when the consumer materializes
+    its inputs (the Pallas tail); inside the fused XLA tail the pooled
+    operand gets recomputed per tap (-144 ms regression, PERF.md).
     """
     from . import sampling
     from .composition import view_from_depth
@@ -81,9 +83,17 @@ def ssao_generate(depth, normal, g, kernel_size: int = 26):
     h, w = H // 2, W // 2
     uv = sampling.grid_uv(h, w)                          # (2, h, w)
 
-    d = sampling.sample_screen(depth, uv)
+    if dense_resample:
+        import jax
+        d = jax.lax.optimization_barrier(
+            sampling.resize_half(depth[:h * 2, :w * 2]))
+        n_half = jax.lax.optimization_barrier(
+            sampling.resize_half(normal[:, :h * 2, :w * 2]))
+    else:
+        d = sampling.sample_screen(depth, uv)
+        n_half = sampling.sample_screen(normal, uv)
     frag_pos = view_from_depth(uv, d, g.camera.inv_projection)  # (3, h, w)
-    n_world = normalize3(sampling.sample_screen(normal, uv))
+    n_world = normalize3(n_half)
     vm = g.camera.view[:3, :3]
     normal_v = jnp.stack([
         vm[0, 0] * n_world[0] + vm[0, 1] * n_world[1] + vm[0, 2] * n_world[2],
@@ -99,7 +109,21 @@ def ssao_generate(depth, normal, g, kernel_size: int = 26):
 
     tangent = normalize3(rv - normal_v * dot3(rv, normal_v)[None])
     bitangent = cross3(tangent, normal_v)
+    return frag_pos, tangent, bitangent, normal_v
 
+
+def ssao_generate(depth, normal, g, kernel_size: int = 26):
+    """depth: (H, W) full-res; normal: (3, H, W) full-res world normals;
+    output: (H/2, W/2) occlusion (half-res like renderer.cpp:827-831).
+
+    Planar port of ssao_generation.inl:174-214: view-space hemisphere
+    sampling with the hardcoded kernel, procedural-noise random vector,
+    smoothstep range check, occlusion = 1 - sum/kernel_size.
+    """
+    from . import sampling
+    H, W = depth.shape
+    h, w = H // 2, W // 2
+    frag_pos, tangent, bitangent, normal_v = _preamble(depth, normal, g)
     proj = g.camera.projection
 
     # All 26 hemisphere taps vectorized into ONE flat gather: index math
@@ -160,3 +184,186 @@ def ssao_blur(ssao):
         for y in range(-2, 2):
             acc = acc + sampling.shift(ssao, x, y)
     return acc / 16.0
+
+
+# ---------------------------------------------------------------------------
+# Pallas windowed SSAO (the production TPU path)
+# ---------------------------------------------------------------------------
+#
+# The XLA tail above spends 26 taps x h*w gather indices at ~6.3 ns/idx
+# (114.5 ms of the 312 ms full-config 1080p frame, PERF.md) — the XLA
+# gather is the hardware floor for *global* random access.  But every
+# SSAO tap lands within a bounded screen-space window of its pixel, so
+# the kernel below makes the access LOCAL:
+#
+#   per (8, 128) half-res output tile
+#     DMA a (WR, WL) HALF-RES view-z window (f32) into VMEM and split it
+#     to a stacked bf16 hi/lo pair in-registers (bf16 view-z alone is
+#     far too coarse for the depth compare; hi + lo recovers ~16
+#     mantissa bits);
+#     for each of the 26 hemisphere taps
+#       compute the tap's half-res texel (same projection math as the
+#       XLA tail) and gather it from the window with an MXU ONE-HOT
+#       GATHER:
+#         lanes: win(2*WR, WL)bf16 @ onehot(WL, 128)bf16 -> (2*WR, 128)
+#         rows:  mask-and-reduce over WR with a row one-hot
+#       (Mosaic has no big-table gather; the systolic array is the
+#        fastest arbitrary-index machine on the chip — measured cost
+#        scales with window AREA, which is why the table is the
+#        half-res view-z: same angular margins, 1/4 the texels of the
+#        full-res window this kernel first shipped with.)
+#
+# Deviations from the XLA tail (both visually negligible post 4x4 blur,
+# and RenderConfig.ssao_impl="xla" keeps the exact path):
+#   * occluder depth comes from the half-res (2x2-mean) depth — the
+#     same field frag_pos is built from — instead of full-res point
+#     samples;
+#   * taps whose projected radius exceeds the window margins
+#     (rows -48/+64, lanes ±256 in full-res pixels at the defaults)
+#     clamp to the window edge (very close geometry only).
+
+
+def _ssao_kernel(params_ref, kern_ref, planes_ref, vz_ref, out_ref,
+                 win, winhl, sem, *, K, WR, WL, MY, MX, hp, wp, w_true,
+                 h_true):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    # offsets must be PROVABLY tile-aligned for the dynamic-slice DMA
+    # (f32 tiling (8, 128)): MY / MX and the clamp bounds are multiples
+    # of 8 / 128, but Mosaic can't see that through clip — assert it.
+    oy = pl.multiple_of(jnp.clip(ty * 8 - MY, 0, hp - WR), 8)
+    ox = pl.multiple_of(jnp.clip(tx * 128 - MX, 0, wp - WL), 128)
+
+    dma = pltpu.make_async_copy(
+        vz_ref.at[pl.ds(oy, WR), pl.ds(ox, WL)], win, sem)
+    dma.start()
+
+    planes = planes_ref[:]                      # (12, 8, 128) f32
+    frag = planes[0:3]
+    Av, Bv, Cv = planes[3:6], planes[6:9], planes[9:12]
+    p = [params_ref[i] for i in range(14)]
+    radius, bias = p[12], p[13]
+
+    iL = jax.lax.broadcasted_iota(jnp.int32, (WL, 128), 0)
+    iR = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
+
+    dma.wait()
+    wf = win[:]                                 # (WR, WL) f32
+    hi = wf.astype(jnp.bfloat16)
+    winhl[0:WR] = hi
+    winhl[WR:2 * WR] = (wf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    whl = winhl[:]                              # (2*WR, WL) bf16
+
+    def tap(k, acc):
+        kx, ky, kz = kern_ref[k, 0], kern_ref[k, 1], kern_ref[k, 2]
+        sx = frag[0] + Av[0] * kx + Bv[0] * ky + Cv[0] * kz
+        sy = frag[1] + Av[1] * kx + Bv[1] * ky + Cv[1] * kz
+        sz = frag[2] + Av[2] * kx + Bv[2] * ky + Cv[2] * kz
+        ow_ = p[8] * sx + p[9] * sy + p[10] * sz + p[11]
+        ows = jnp.where(ow_ != 0, ow_, 1.0)
+        ou = (p[0] * sx + p[1] * sy + p[2] * sz + p[3]) / ows * 0.5 + 0.5
+        ov = (p[4] * sx + p[5] * sy + p[6] * sz + p[7]) / ows * 0.5 + 0.5
+        # point-sample the half-res table: texel = floor(u * w) (the
+        # XLA tail's trunc(u*W - 0.5) at full res carries a half-texel
+        # bias; at half res that bias would be a full-res texel)
+        xi = jnp.clip(jnp.floor(ou * w_true).astype(jnp.int32), 0,
+                      w_true - 1)
+        yi = jnp.clip(jnp.floor(ov * h_true).astype(jnp.int32), 0,
+                      h_true - 1)
+        wx = jnp.clip(xi - ox, 0, WL - 1)       # (8, 128)
+        wy = jnp.clip(yi - oy, 0, WR - 1)
+
+        rows = []
+        for s in range(8):
+            ohL = (iL == wx[s:s + 1, :]).astype(jnp.bfloat16)  # (WL, 128)
+            C2 = jax.lax.dot_general(
+                whl, ohL, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (2WR, 128)
+            Chl = C2[:WR] + C2[WR:]                          # hi + lo
+            ohR = (iR == wy[s:s + 1, :])
+            vz_row = jnp.sum(jnp.where(ohR, Chl, 0.0), axis=0,
+                             keepdims=True)                  # (1, 128)
+            rows.append(vz_row)
+        vz = jnp.concatenate(rows, axis=0)                   # (8, 128)
+
+        denom = jnp.maximum(jnp.abs(frag[2] - vz), 1e-8)
+        t = jnp.clip(radius / denom, 0.0, 1.0)
+        rc = t * t * (3.0 - 2.0 * t)
+        hit = vz >= sz + bias
+        return acc + jnp.where(hit, rc, 0.0)
+
+    acc = jax.lax.fori_loop(0, K, tap, jnp.zeros((8, 128), jnp.float32))
+    out_ref[:] = 1.0 - acc / K
+
+
+def ssao_generate_pallas(depth, normal, g, kernel_size: int = 26,
+                         interpret: bool | None = None,
+                         window_rows: int = 64, window_lanes: int = 384):
+    """Pallas windowed SSAO — same contract as :func:`ssao_generate`."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    H, W = depth.shape
+    h, w = H // 2, W // 2
+    frag_pos, tangent, bitangent, normal_v = _preamble(
+        depth, normal, g, dense_resample=True)
+
+    # the gather table IS frag_pos.z: per-texel half-res view z
+    viewz = frag_pos[2]
+
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    WL = min(window_lanes, wp)
+    WR = min(window_rows, hp)
+    MY = (WR - 8) // 2 // 8 * 8        # 8-aligned row margin (24 @ WR=64)
+    MX = (WL - 128) // 2 // 128 * 128  # 128-aligned lane margin
+
+    r = g.ssao_radius
+    planes = jnp.concatenate([
+        frag_pos, tangent * r, bitangent * r, normal_v * r], axis=0)
+    planes = jnp.pad(planes, ((0, 0), (0, hp - h), (0, wp - w)))
+    viewz = jnp.pad(viewz, ((0, hp - h), (0, wp - w)))
+
+    proj = g.camera.projection
+    params = jnp.concatenate([
+        proj[0], proj[1], proj[3],
+        jnp.stack([g.ssao_radius, g.ssao_bias])]).astype(jnp.float32)
+    kern = KERNEL[:kernel_size]
+
+    kernel = functools.partial(
+        _ssao_kernel, K=kernel_size, WR=WR, WL=WL, MY=MY, MX=MX, hp=hp,
+        wp=wp, w_true=w, h_true=h)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(hp // 8, wp // 128),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # params (14,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # kern (K, 3)
+                pl.BlockSpec((12, 8, 128), lambda ty, tx: (0, ty, tx),
+                             memory_space=pltpu.VMEM),       # planes
+                pl.BlockSpec(memory_space=pl.ANY),           # viewz (HBM)
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda ty, tx: (ty, tx),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((WR, WL), jnp.float32),
+                pltpu.VMEM((2 * WR, WL), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        interpret=interpret,
+    )(params, kern, planes, viewz)
+    return out[:h, :w]

@@ -270,6 +270,12 @@ class RenderConfig:
     bloom_mip_count: int = 4
     ssao_kernel_size: int = 26
     half_res_ssao: bool = True
+    # SSAO backend: "pallas" = windowed VMEM kernel (11x faster, taps
+    # beyond the window margins clamp to its edge — visually identical
+    # post-blur); "xla" = exact global-gather tail.
+    ssao_impl: str = "pallas"
+    ssao_window_rows: int = 64    # half-res rows of the VMEM depth window
+    ssao_window_lanes: int = 384  # half-res lanes (multiple of 128)
     half_res_clouds: bool = True
     # Pass toggles (reference defaults: DoF & display disabled, SSR
     # computed but not composited, volumetric light zeroed).

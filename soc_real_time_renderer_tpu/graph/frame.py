@@ -85,6 +85,13 @@ class FramePlan:
     atlas_n_levels: int
     texture_filter: str = "bilinear"
     interpret: bool | None = None   # Pallas interpret override (tests)
+    # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
+    # render target to rows-split-over-`shard_axis` of `shard_mesh`, so
+    # XLA partitions the whole screen-space stack across devices (halo
+    # exchanges become collective-permutes over ICI).  Geometry /
+    # records stay replicated — they are the "weights".
+    shard_mesh: object | None = None      # jax.sharding.Mesh (hashable)
+    shard_axis: str | None = None         # mesh axis name for image rows
 
     @staticmethod
     def create(config: RenderConfig, atlas: PackedMaterialAtlas,
@@ -168,27 +175,18 @@ def _clip_of(world, view_proj):
     return jnp.stack(outs)
 
 
-def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
-                 history: RenderHistory,
-                 model_mats, normal_mats) -> tuple[FrameOutputs, RenderHistory]:
-    """One frame. All array args are traced; `plan` is static."""
+def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
+                 model_mats, normal_mats):
+    """Geometry half of the frame: vertex transform + the Pallas raster
+    views (T1 main visibility + T4 shadow) + per-triangle shading
+    records.  Under multi-chip SPMD this stage is replicated (triangle
+    counts are small next to pixel counts); everything downstream
+    (:func:`shade_stage`) partitions over image rows."""
     cfg = plan.config
-
-    # ---- vertex + main-view raster (T1 depth prepass + T6 visibility)
     world, wnrm = transform_triangles(batch, model_mats, normal_mats)
     clip = _clip_of(world, g.camera.projection_view)
     vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
                                    interpret=plan.interpret)
-
-    # ---- Min/Max HiZ pyramids (T2/T3, renderer.cpp:988-1001): the
-    # reference dispatches both every frame even though nothing reads
-    # them (SSR declares-but-ignores); computed here for parity and
-    # exported for debug/SSR extensions.
-    hiz_min = hiz_max = None
-    if cfg.enable_hiz:
-        from ..ops import hiz as hiz_ops
-        hiz_min = hiz_ops.build_hiz(vis.depth, "min")
-        hiz_max = hiz_ops.build_hiz(vis.depth, "max")
 
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
@@ -200,9 +198,59 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         shadow_map = svis.depth
         overflow = overflow | svis.overflow
 
-    # ---- deferred G-buffer resolve (T6 fragment semantics)
     records = gbuf_ops.build_shading_records(
         setup, world, wnrm, batch.tri_uv, batch.static_rows)
+    return vis, records, shadow_map, overflow
+
+
+def _row_pin(plan: FramePlan):
+    """Returns f(x): pin an image (or pytree of images) to rows split
+    over plan.shard_axis — identity when no mesh is configured.  Arrays
+    whose second-to-last dim is the row axis ((H, W) and (C, H, W))
+    are constrained; scalars and pyramid levels below the shard count
+    pass through."""
+    if plan.shard_mesh is None or plan.shard_axis is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = plan.shard_mesh
+    n = mesh.shape[plan.shard_axis]
+
+    def pin(x):
+        def one(a):
+            if getattr(a, "ndim", 0) < 2 or a.shape[-2] % n != 0:
+                return a
+            spec = P(*([None] * (a.ndim - 2) + [plan.shard_axis, None]))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec))
+        return jax.tree_util.tree_map(one, x)
+
+    return pin
+
+
+def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
+                history: RenderHistory, vis, records, shadow_map,
+                overflow) -> tuple[FrameOutputs, RenderHistory]:
+    """Screen-space half of the frame (T2/T3 + T6-fragment + T9-T20):
+    pure XLA except the Pallas SSAO (ssao_impl="xla" makes it XLA-only,
+    which is how the multi-chip dryrun validates genuine row-sharded
+    execution with no interpreter in the compiled step)."""
+    cfg = plan.config
+    rows = _row_pin(plan)
+    vis = dataclasses.replace(vis, depth=rows(vis.depth),
+                              tri_id=rows(vis.tri_id))
+    shadow_map = rows(shadow_map) if shadow_map is not None else None
+
+    # ---- Min/Max HiZ pyramids (T2/T3, renderer.cpp:988-1001): the
+    # reference dispatches both every frame even though nothing reads
+    # them (SSR declares-but-ignores); computed here for parity and
+    # exported for debug/SSR extensions.
+    hiz_min = hiz_max = None
+    if cfg.enable_hiz:
+        from ..ops import hiz as hiz_ops
+        hiz_min = hiz_ops.build_hiz(vis.depth, "min")
+        hiz_max = hiz_ops.build_hiz(vis.depth, "max")
+
+    # ---- deferred G-buffer resolve (T6 fragment semantics)
     gbuf = gbuf_ops.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
@@ -213,6 +261,7 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     # (measured: TAA-off saved 160 ms when TAA itself costs 10 — the
     # render-target boundary is semantic on GPU, explicit here)
     gbuf = jax.tree_util.tree_map(jax.lax.optimization_barrier, gbuf)
+    gbuf = rows(gbuf)
 
     # ---- bloom (T14/T15) on the emissive target before composition
     emissive = gbuf.emissive
@@ -224,8 +273,15 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     # ---- SSAO + blur (T9/T10), half resolution
     ssao = None
     if cfg.enable_ssao:
-        ssao_half = ssao_ops.ssao_generate(vis.depth, gbuf.normal, g,
-                                           cfg.ssao_kernel_size)
+        if cfg.ssao_impl == "pallas":
+            ssao_half = ssao_ops.ssao_generate_pallas(
+                vis.depth, gbuf.normal, g, cfg.ssao_kernel_size,
+                interpret=plan.interpret,
+                window_rows=cfg.ssao_window_rows,
+                window_lanes=cfg.ssao_window_lanes)
+        else:
+            ssao_half = ssao_ops.ssao_generate(vis.depth, gbuf.normal, g,
+                                               cfg.ssao_kernel_size)
         ssao = ssao_ops.ssao_blur(ssao_half)
         # composition samples the half-res target bilinearly at full res
         ssao_full = sampling.upsample_bilinear(ssao, cfg.height, cfg.width)
@@ -261,7 +317,7 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     # render-target barrier: TAA shifts hdr 9 ways and the histogram
     # reduces it — fused recompute of composition per consumer is the
     # dominant glue cost at 1080p (PERF.md round-2 item 6)
-    hdr = jax.lax.optimization_barrier(hdr)
+    hdr = rows(jax.lax.optimization_barrier(hdr))
     if cfg.composite_ssr and ssr_img is not None:
         # the mix the reference comments out (composition.inl:213-216)
         rough = gbuf.metallic_roughness[0]
@@ -292,7 +348,8 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         resolved = dof_ops.depth_of_field(resolved, vis.depth, g)
 
     # ---- tone mapping (T20)
-    color = tonemap_ops.tone_map(resolved, exposure, g)
+    resolved = rows(resolved)
+    color = rows(tonemap_ops.tone_map(resolved, exposure, g))
 
     new_history = RenderHistory(
         previous_color=resolved.astype(jnp.bfloat16),
@@ -305,6 +362,16 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                            hiz_min=hiz_min, hiz_max=hiz_max,
                            overflow=overflow)
     return outputs, new_history
+
+
+def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
+                 history: RenderHistory,
+                 model_mats, normal_mats) -> tuple[FrameOutputs, RenderHistory]:
+    """One frame. All array args are traced; `plan` is static."""
+    vis, records, shadow_map, overflow = raster_stage(
+        plan, batch, g, model_mats, normal_mats)
+    return shade_stage(plan, batch, g, history, vis, records, shadow_map,
+                       overflow)
 
 
 def make_render_fn(plan: FramePlan):

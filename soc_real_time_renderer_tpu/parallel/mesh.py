@@ -37,25 +37,54 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None):
     return Mesh(arr, axis_names=("dp", "sp"))
 
 
-def make_batched_render_fn(plan: frame_mod.FramePlan, mesh: Mesh):
+def make_batched_render_fn(plan: frame_mod.FramePlan, mesh: Mesh,
+                           row_axis: str = "sp"):
     """Batched multi-camera render step, sharded (dp over cameras, sp
     over image rows).  This is the full multi-chip step the driver
     dry-runs: every pass executes under SPMD partitioning.
+
+    The row split is enforced on the INTERMEDIATES, not just the output:
+    the plan carries (mesh, row_axis) and shade_stage pins every render
+    target (G-buffer, hdr, resolved, color) to
+    ``P(..., row_axis, None)``, so the screen-space stack partitions
+    over devices rather than replicating and slicing at the end.
     """
+    import dataclasses
+    plan = dataclasses.replace(plan, shard_mesh=mesh, shard_axis=row_axis)
+
     def step(batch, globals_batch, history_batch, model_mats, normal_mats):
         def one(g, hist):
             out, h2 = frame_mod.render_frame(plan, batch, g, hist,
                                              model_mats, normal_mats)
-            color = jax.lax.with_sharding_constraint(
-                out.color, NamedSharding(mesh, P(None, "sp", None)))
-            return color, h2
+            return out.color, h2
 
         colors, new_hist = jax.vmap(one)(globals_batch, history_batch)
         colors = jax.lax.with_sharding_constraint(
-            colors, NamedSharding(mesh, P("dp", None, "sp", None)))
+            colors, NamedSharding(mesh, P("dp", None, row_axis, None)))
         return colors, new_hist
 
     return jax.jit(step)
+
+
+def make_sharded_shade_fn(plan: frame_mod.FramePlan, mesh: Mesh,
+                          row_axis: str = "sp"):
+    """Single-camera shade_stage jit, row-sharded over `row_axis`.
+
+    Pure XLA when plan.config.ssao_impl == "xla" — no Pallas, no
+    interpreter: this is the function the multi-chip dryrun compiles
+    natively to prove the sharded screen-space stack executes
+    distributed (collective-permute halo exchanges in the HLO).
+    """
+    import dataclasses
+    plan = dataclasses.replace(plan, shard_mesh=mesh, shard_axis=row_axis,
+                               interpret=None)
+
+    def shade(batch, g, history, vis, records, shadow_map, overflow):
+        out, h2 = frame_mod.shade_stage(plan, batch, g, history, vis,
+                                        records, shadow_map, overflow)
+        return out.color, h2
+
+    return jax.jit(shade)
 
 
 def shard_inputs(mesh: Mesh, batch, globals_batch, history_batch):

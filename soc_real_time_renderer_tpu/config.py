@@ -291,6 +291,11 @@ class RenderConfig:
     #                           marches of dead work
     composite_ssr: bool = False         # composition.inl:213-216 commented out
     enable_clouds: bool = True
+    # Sky noise source: "texture" = Pallas LUT kernel sampling the real
+    # assets/Clouds/noise.png from VMEM (reference cloud shapes,
+    # cloud_rendering.inl:219-233); "procedural" = XLA LUT with hash
+    # value noise (gather-free fallback; shapes differ statistically).
+    cloud_noise_mode: str = "texture"
     enable_bloom: bool = True
     enable_taa: bool = True
     enable_auto_exposure: bool = True

@@ -301,7 +301,20 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     clouds_half = None
     if cfg.enable_clouds:
         hw, hh = cfg.width // 2, cfg.height // 2
-        lut = clouds_ops.render_sky_lut(g)
+        interp = plan.interpret
+        if interp is None:
+            interp = jax.default_backend() not in ("tpu", "axon")
+        if (cfg.cloud_noise_mode == "texture"
+                and batch.cloud_noise is not None and not interp):
+            # real-noise Pallas kernel; TPU-only — the interpreted
+            # march is ~284 GFLOP/LUT, so CPU runs take the procedural
+            # path (kernel parity is pinned by tests/test_sky_pallas.py
+            # at a small LUT)
+            from ..ops import sky_pallas
+            lut = sky_pallas.render_sky_lut_pallas(
+                g, batch.cloud_noise, interpret=False)
+        else:
+            lut = clouds_ops.render_sky_lut(g)
         clouds_half = clouds_ops.sky_from_lut(g, lut, vis.depth, hw, hh)
         clouds_full = sampling.upsample_bilinear(clouds_half, cfg.height,
                                                  cfg.width)

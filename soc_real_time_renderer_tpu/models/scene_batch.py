@@ -53,6 +53,10 @@ class SceneBatch:
     #                           is_terrain]
     atlas_packed: jax.Array  # (44, M * layer_stride) uint8 (bilinear-expanded,
     #                           11 sampled rows x 4 corners)
+    cloud_noise: jax.Array | None = None  # (64, 64) f32 tiled cloud noise
+    #                           (assets/Clouds/noise.png R channel,
+    #                           cloud_rendering.inl:219-233); None falls
+    #                           back to the procedural sky LUT
 
     @property
     def num_triangles(self):

@@ -70,7 +70,8 @@ def make_sharded_shade_fn(plan: frame_mod.FramePlan, mesh: Mesh,
                           row_axis: str = "sp"):
     """Single-camera shade_stage jit, row-sharded over `row_axis`.
 
-    Pure XLA when plan.config.ssao_impl == "xla" — no Pallas, no
+    Pure XLA when plan.config has ssao_impl="xla" and
+    cloud_noise_mode="procedural" — no Pallas, no
     interpreter: this is the function the multi-chip dryrun compiles
     natively to prove the sharded screen-space stack executes
     distributed (collective-permute halo exchanges in the HLO).

@@ -111,6 +111,16 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
         max_point_lights=int(lights.point_count),
         max_spot_lights=int(lights.spot_count))
     batch, atlas = build_scene_batch(models, atlas_size=atlas_size)
+    # the reference's tiled cloud-noise texture (cloud_rendering.inl:
+    # 219-233); sampled in VMEM by the Pallas sky kernel.  Missing
+    # asset -> procedural-noise LUT fallback (frame.py).
+    noise_path = os.path.join(ASSETS, "Clouds/noise.png")
+    if config.enable_clouds and os.path.exists(noise_path):
+        from .models.texture import decode_image
+        img = decode_image(open(noise_path, "rb").read())
+        import dataclasses as _dc0
+        batch = _dc0.replace(
+            batch, cloud_noise=(img[..., 0].astype(np.float32) / 255.0))
     plan = frame_mod.FramePlan.create(config, atlas)
     # size pair caps to the scene: the sorted pair stream truncates
     # (bottom-of-screen bins drop) if the cap is exceeded

@@ -75,7 +75,8 @@ def test_one_vs_eight_device_equivalence(built):
 def test_sharded_shade_distributes_rows(built):
     mesh = pmesh.make_mesh(8, dp=1)     # sp=8: 16-row bands at H=128
     plan_x = dataclasses.replace(
-        built.plan, config=CFG.replace(ssao_impl="xla"))
+        built.plan, config=built.plan.config.replace(
+            ssao_impl="xla", cloud_noise_mode="procedural"))
 
     g, mm, nm = built.frame_globals(1)
     hist = frame_mod.RenderHistory.create(CFG)

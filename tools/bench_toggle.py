@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""In-frame per-pass attribution: bench.py's scan harness with pass
+toggles (the only trustworthy attribution — the isolated profiler
+under-measures passes whose input chains hoist, PERF.md).
+
+For each toggle, runs the full scan-harness frame with that pass
+disabled and reports the delta vs the baseline config.  A pass's true
+in-frame cost INCLUDES the fusion glue it drags in, which isolation
+hides.
+
+Usage:
+  python tools/bench_toggle.py --scene full --width 1920 --height 1088 \
+      [--toggles shadows,ssao,...] [--frames 16]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="full")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--toggles", default=(
+        "shadows,ssao,bloom,clouds,taa,auto_exposure,hiz,ssao_xla"))
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.config import RenderConfig
+    from soc_real_time_renderer_tpu.graph import frame as frame_mod
+
+    built = scenes.build(
+        args.scene, RenderConfig(width=args.width, height=args.height))
+    # the scene build tunes the config (static scene-true light counts,
+    # terrain toggle); variants MUST derive from the tuned config or the
+    # baseline silently reverts to 128+128 empty light scans (~220 ms
+    # of artifact at 1080p)
+    cfg0 = built.plan.config
+
+    gs = []
+    for i in range(args.frames):
+        g, mm, nm = built.frame_globals(i + 1)
+        gs.append(g)
+    globals_batch = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *gs)
+
+    def measure(cfg):
+        plan = dataclasses.replace(built.plan, config=cfg)
+
+        def run(batch, gb, hist, mm, nm):
+            def step(h, g):
+                out, h2 = frame_mod.render_frame(plan, batch, g, h, mm, nm)
+                probe = out.color[:, ::64, ::64].sum()
+                if out.hiz_min is not None:
+                    probe = probe + out.hiz_min[-1].sum() \
+                        + out.hiz_max[-1].sum()
+                return h2, probe
+            return jax.lax.scan(step, hist, gb)
+
+        runj = jax.jit(run, donate_argnames=("hist",))
+        hist = frame_mod.RenderHistory.create(cfg)
+        t0 = time.perf_counter()
+        _, probes = runj(built.batch, globals_batch, hist, mm, nm)
+        float(probes.sum())
+        compile_s = time.perf_counter() - t0
+        hist = frame_mod.RenderHistory.create(cfg)
+        t0 = time.perf_counter()
+        _, probes = runj(built.batch, globals_batch, hist, mm, nm)
+        float(probes.sum())
+        return (time.perf_counter() - t0) * 1e3 / args.frames, compile_s
+
+    base_ms, cs = measure(cfg0)
+    print(f"{'baseline':24s} {base_ms:8.2f} ms/frame  (compile {cs:.0f}s)",
+          flush=True)
+
+    variants = {
+        "shadows": cfg0.replace(enable_shadows=False),
+        "ssao": cfg0.replace(enable_ssao=False),
+        "bloom": cfg0.replace(enable_bloom=False),
+        "clouds": cfg0.replace(enable_clouds=False),
+        "taa": cfg0.replace(enable_taa=False),
+        "auto_exposure": cfg0.replace(enable_auto_exposure=False),
+        "hiz": cfg0.replace(enable_hiz=False),
+        "ssao_xla": cfg0.replace(ssao_impl="xla"),
+    }
+    for name in args.toggles.split(","):
+        if name not in variants:
+            print(f"{name:24s} (unknown toggle)")
+            continue
+        ms, cs = measure(variants[name])
+        tag = "-" + name if not name.endswith("_xla") else name
+        print(f"{tag:24s} {ms:8.2f} ms/frame  delta {base_ms - ms:+8.2f}"
+              f"  (compile {cs:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,18 @@ class FramePlan:
     # records stay replicated — they are the "weights".
     shard_mesh: object | None = None      # jax.sharding.Mesh (hashable)
     shard_axis: str | None = None         # mesh axis name for image rows
+    # Statically-provable-empty sun shadow map (scenes.py sets this):
+    # the REFERENCE's shadow volume never contains the scene — sun at
+    # y=40 with glm::ortho(+-16) z planes (renderer.cpp:110-112) and
+    # glm running in [-1,1] depth mode because the ZO macro is
+    # misspelled (pch.hpp:17 'GLM_DEPTH_ZERO_TO_ONEW', camera.hpp:5
+    # missing the FORCE_ prefix) puts ALL geometry at sun-clip
+    # z~2.2-2.75, so every fragment z-clips and the 4096^2 map stays at
+    # its 1.0 clear (sun_shadow = exp(-80(z-1)) ~ 0 in composition).
+    # When provable at build time, the raster + ESM gather are elided
+    # and composition uses the exact constant-1.0 map analytically —
+    # output-identical, ~58 ms/frame cheaper at 1080p.
+    shadow_statically_empty: bool = False
 
     @staticmethod
     def create(config: RenderConfig, atlas: PackedMaterialAtlas,
@@ -191,7 +203,7 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
     overflow = vis.overflow
-    if cfg.enable_shadows:
+    if cfg.enable_shadows and not plan.shadow_statically_empty:
         sclip = _clip_of(world, g.sun.projection_view)
         svis, _ = raster2.rasterize(sclip, plan.shadow_grid, cull="back",
                                     interpret=plan.interpret)
@@ -326,7 +338,9 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         enable_volumetric=cfg.enable_volumetric_light,
         enable_shadow=cfg.enable_shadows,
         max_point_lights=cfg.max_point_lights,
-        max_spot_lights=cfg.max_spot_lights)
+        max_spot_lights=cfg.max_spot_lights,
+        empty_shadow_map=(cfg.enable_shadows
+                          and plan.shadow_statically_empty))
     # render-target barrier: TAA shifts hdr 9 ways and the histogram
     # reduces it — fused recompute of composition per consumer is the
     # dominant glue cost at 1080p (PERF.md round-2 item 6)

@@ -138,11 +138,16 @@ def _local_lights(g: ShaderGlobals, albedo, normal, position,
 def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
             shadow_map, clouds, *, enable_volumetric: bool = False,
             enable_shadow: bool = True, max_point_lights: int = 128,
-            max_spot_lights: int = 128):
+            max_spot_lights: int = 128, empty_shadow_map: bool = False):
     """Full composition pass (planar).
 
     depth: (H, W); albedo/emissive/normal: (3, H, W); ssao: (H, W);
     shadow_map: (S, S) or None; clouds: (3, H, W) or None.
+    empty_shadow_map: shadow_map is statically proven to be all-1.0
+    (no geometry enters the sun clip volume — the reference's actual
+    state, see FramePlan.shadow_statically_empty); the ESM factor is
+    computed against the constant 1.0 (bilinear of an all-1.0 map is
+    exactly 1.0 incl. clamp-to-edge), skipping the 2.1M-index gather.
     Returns (3, H, W) HDR colour.
     """
     H, W = depth.shape
@@ -158,11 +163,14 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
                     g.ambient_occlussion_strength)
 
     # --- sun shadow (composition.inl:164-173)
-    if enable_shadow and shadow_map is not None:
+    if enable_shadow and (shadow_map is not None or empty_shadow_map):
         spv = g.sun.projection_view
         sp, _ = _project(spv, position)
-        suv = jnp.stack([sp[0] * 0.5 + 0.5, sp[1] * 0.5 + 0.5])
-        sdepth = sampling.sample_screen(shadow_map, suv)
+        if empty_shadow_map:
+            sdepth = jnp.float32(1.0)   # all-1.0 map sampled bilinearly
+        else:
+            suv = jnp.stack([sp[0] * 0.5 + 0.5, sp[1] * 0.5 + 0.5])
+            sdepth = sampling.sample_screen(shadow_map, suv)
         sun_shadow = jnp.clip(
             jnp.exp(g.sun.exponential_factor * (sp[2] - sdepth))
             ** g.sun.darkening_factor, 0.0, 1.0)
@@ -177,7 +185,7 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
                                     max_spot_lights)
 
     # --- volumetric light (computed-then-zeroed in the reference)
-    if enable_volumetric and shadow_map is not None:
+    if enable_volumetric and (shadow_map is not None or empty_shadow_map):
         spv = g.sun.projection_view
         sp, _ = _project(spv, position)
         cam4 = jnp.concatenate([g.camera.position, jnp.ones(1)])
@@ -193,10 +201,15 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
         accum = jnp.zeros_like(d)
         for i in range(2):  # NUM_STEPS_INT = 2
             pstep = scp[:, None] + step * float(i) + dither[None, :] * step
-            accum += sampling.sample_shadow_cmp(
-                shadow_map,
-                jnp.stack([pstep[0] * 0.5 + 0.5, pstep[1] * 0.5 + 0.5]),
-                pstep[2])
+            if empty_shadow_map:
+                # comparison-sample of the all-1.0 map (border also
+                # 1.0): bilinear of identical tests = the test itself
+                accum += (pstep[2] < 1.0).astype(jnp.float32)
+            else:
+                accum += sampling.sample_shadow_cmp(
+                    shadow_map,
+                    jnp.stack([pstep[0] * 0.5 + 0.5, pstep[1] * 0.5 + 0.5]),
+                    pstep[2])
         vdir = normalize3(position - g.camera.position[:, None])
         vol = (accum / 2.0) * _henyey_greenstein(
             dot3(vdir, -g.sun.direction[:, None]))

@@ -168,18 +168,22 @@ def triangle_setup_planar(clip, width, height, cull: str = "front"
 class BinGrid:
     """Static binning configuration for one render-target size.
 
-    64px bins keep the vast majority of triangles in the 4-slot small
-    path even close up (a triangle must exceed ~128px to go medium);
-    the resolve kernel subdivides each bin into (8,128)-pixel register
-    blocks so bin size doesn't hurt VPU shape."""
+    Bins may be rectangular (bin_w x bin_h): the resolve kernel pays
+    pixels_per_bin VPU evaluations PER PAIR, so short-wide bins (e.g.
+    128x32) cut resolve work ~4x vs 128x128 while keeping the 128-lane
+    out-block shape; the price is more (bin, tri) pairs per triangle
+    vertically (n_small bounds the small path)."""
     width: int
     height: int
-    bin_size: int = 64          # square bins, pixels
-    group: int = 2              # bins per Pallas out-block (group*bin = lanes)
+    bin_size: int = 64          # square default; bin_w/bin_h override
+    group: int = 2              # bins per Pallas out-block (group*bin_w = lanes)
     chunk: int = 128            # triangles per resolve chunk
     pair_cap: int = 262144      # gathered record columns (sorted prefix)
-    med_cap: int = 8192         # max "medium" triangles (bbox > 4 bins)
+    med_cap: int = 8192         # max "medium" triangles (bbox > n_small bins)
     med_slots: int = 64         # bins covered per medium triangle
+    bin_w: int | None = None    # bin width in px (default bin_size)
+    bin_h: int | None = None    # bin height in px (default bin_size)
+    n_small: int = 4            # inline small-path slots per triangle
 
     def __post_init__(self):
         # the resolve kernel DMAs chunk-aligned windows of the record
@@ -189,12 +193,20 @@ class BinGrid:
         assert self.pair_cap % self.chunk == 0
 
     @property
+    def bw(self):
+        return self.bin_w or self.bin_size
+
+    @property
+    def bh(self):
+        return self.bin_h or self.bin_size
+
+    @property
     def bx(self):
-        return _cdiv(self.width, self.bin_size * self.group) * self.group
+        return _cdiv(self.width, self.bw * self.group) * self.group
 
     @property
     def by(self):
-        return _cdiv(self.height, self.bin_size)
+        return _cdiv(self.height, self.bh)
 
     @property
     def num_bins(self):
@@ -202,7 +214,7 @@ class BinGrid:
 
     @property
     def pixels_per_bin(self):
-        return self.bin_size * self.bin_size
+        return self.bw * self.bh
 
 
 def default_grid(width, height, scale="scene", kind="main"):
@@ -243,14 +255,14 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
     overflow reports every silent-truncation hazard of the static caps
     (OVERFLOW_PAIRS / OVERFLOW_MED_CAP / OVERFLOW_MED_SLOTS)."""
     T = setup.adj.shape[1]
-    bs = grid.bin_size
+    bw, bh = grid.bw, grid.bh
     BX, BY, B = grid.bx, grid.by, grid.num_bins
 
     x0, y0, x1, y1 = (setup.bbox[i] for i in range(4))
-    bx0 = jnp.clip((x0 // bs).astype(jnp.int32), 0, BX - 1)
-    by0 = jnp.clip((y0 // bs).astype(jnp.int32), 0, BY - 1)
-    bx1 = jnp.clip(((x1 - 1.0) // bs).astype(jnp.int32), 0, BX - 1)
-    by1 = jnp.clip(((y1 - 1.0) // bs).astype(jnp.int32), 0, BY - 1)
+    bx0 = jnp.clip((x0 // bw).astype(jnp.int32), 0, BX - 1)
+    by0 = jnp.clip((y0 // bh).astype(jnp.int32), 0, BY - 1)
+    bx1 = jnp.clip(((x1 - 1.0) // bw).astype(jnp.int32), 0, BX - 1)
+    by1 = jnp.clip(((y1 - 1.0) // bh).astype(jnp.int32), 0, BY - 1)
     w = bx1 - bx0 + 1
     h = by1 - by0 + 1
     nb = w * h
@@ -265,11 +277,12 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
         key = (by0g[None, :] + dy) * BX + bx0g[None, :] + dx
         return jnp.where(ok, key, B)
 
+    ns = grid.n_small
     tri_ids = jnp.arange(T, dtype=jnp.int32)
-    small = valid & (nb <= 4)
-    k_small = jnp.where(small[None, :], slot_keys(bx0, by0, w, h, 4), B)
+    small = valid & (nb <= ns)
+    k_small = jnp.where(small[None, :], slot_keys(bx0, by0, w, h, ns), B)
 
-    med = valid & (nb > 4)
+    med = valid & (nb > ns)
     med_ids = jnp.nonzero(med, size=grid.med_cap, fill_value=T)[0]
     mi = jnp.minimum(med_ids, T - 1)
     m_ok = (med_ids < T)[None, :]
@@ -278,7 +291,7 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
 
     keys = jnp.concatenate([k_small.reshape(-1), k_med.reshape(-1)])
     tids = jnp.concatenate([
-        jnp.broadcast_to(tri_ids[None, :], (4, T)).reshape(-1),
+        jnp.broadcast_to(tri_ids[None, :], (ns, T)).reshape(-1),
         jnp.broadcast_to(med_ids[None, :],
                          (grid.med_slots, grid.med_cap)).reshape(-1)])
     sk, st = jax.lax.sort((keys, tids), num_keys=1)
@@ -302,19 +315,19 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
 
 def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
                     scratch, sem):
-    bs, G, K = grid.bin_size, grid.group, grid.chunk
+    bw, bh, G, K = grid.bw, grid.bh, grid.group, grid.chunk
     BX = grid.bx
-    P = bs * bs
+    P = bw * bh
     # pixel sub-blocks bound VMEM: temps are (PSUB, K) f32
     PSUB = min(P, 1024)
     NSUB = P // PSUB
-    rows_per_sub = PSUB // bs
+    rows_per_sub = PSUB // bw
     gy = pl.program_id(0)
     gx = pl.program_id(1)
 
     pix = jax.lax.broadcasted_iota(jnp.int32, (PSUB, 1), 0)
-    lx = (pix % bs).astype(jnp.float32)
-    ly_base = (pix // bs).astype(jnp.float32)
+    lx = (pix % bw).astype(jnp.float32)
+    ly_base = (pix // bw).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     for bl in range(G):
@@ -325,8 +338,8 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
         # outside the true range are masked (Mosaic requires aligned
         # dynamic DMA offsets).
         col0 = (start // K) * K
-        ox = ((gx * G + bl) * bs).astype(jnp.float32)
-        oy = (gy * bs).astype(jnp.float32)
+        ox = ((gx * G + bl) * bw).astype(jnp.float32)
+        oy = (gy * bh).astype(jnp.float32)
 
         for sub in range(NSUB):
             px = lx + ox + 0.5
@@ -370,25 +383,25 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
             zb, ib = jax.lax.fori_loop(0, nch, chunk_body, (z0, i0))
             zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
             r0 = sub * rows_per_sub
-            depth_ref[r0:r0 + rows_per_sub, bl * bs:(bl + 1) * bs] = (
-                zb.reshape(rows_per_sub, bs))
-            id_ref[r0:r0 + rows_per_sub, bl * bs:(bl + 1) * bs] = (
-                ib.reshape(rows_per_sub, bs))
+            depth_ref[r0:r0 + rows_per_sub, bl * bw:(bl + 1) * bw] = (
+                zb.reshape(rows_per_sub, bw))
+            id_ref[r0:r0 + rows_per_sub, bl * bw:(bl + 1) * bw] = (
+                ib.reshape(rows_per_sub, bw))
 
 
 def resolve(starts, recs, grid: BinGrid, interpret: bool = False):
     """Pallas bin resolve -> (depth (H', W'), tri_id (H', W')), padded
     to the bin grid (caller crops to the viewport)."""
-    bs, G = grid.bin_size, grid.group
+    bw, bh, G = grid.bw, grid.bh, grid.group
     BY, BX = grid.by, grid.bx
     gspec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BY, BX // G),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((bs, G * bs), lambda gy, gx, starts: (gy, gx),
+            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts: (gy, gx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, G * bs), lambda gy, gx, starts: (gy, gx),
+            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts: (gy, gx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
@@ -396,8 +409,8 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False):
     )
     depth, tid = pl.pallas_call(
         functools.partial(_resolve_kernel, grid),
-        out_shape=(jax.ShapeDtypeStruct((BY * bs, BX * bs), jnp.float32),
-                   jax.ShapeDtypeStruct((BY * bs, BX * bs), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((BY * bh, BX * bw), jnp.float32),
+                   jax.ShapeDtypeStruct((BY * bh, BX * bw), jnp.int32)),
         grid_spec=gspec,
         interpret=interpret,
     )(starts, recs)

@@ -103,6 +103,47 @@ class BuiltScene:
         return g, mm, nm
 
 
+def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4):
+    """True iff all world-space vertices are strictly outside the sun
+    clip volume on one common side (z or x or y), for the build-time
+    sun matrices (config.SunInfo.create defaults = renderer.cpp:
+    108-133).  Conservative: any vertex in/straddling -> False."""
+    from .config import SunInfo
+    pos = np.asarray(batch.tri_pos)                 # (3 verts, 3 xyz, T)
+    ent = np.asarray(batch.tri_entity)              # (T,)
+    M = model_mats[ent]                             # (T, 4, 4)
+    pv = np.asarray(SunInfo.create().projection_view)
+    sides = []  # per-side "all outside" flags over every vertex
+    zs, xs, ys = [], [], []
+    for v in range(3):
+        p = pos[v]                                  # (3, T)
+        wx = M[:, 0, 0] * p[0] + M[:, 0, 1] * p[1] + M[:, 0, 2] * p[2] + M[:, 0, 3]
+        wy = M[:, 1, 0] * p[0] + M[:, 1, 1] * p[1] + M[:, 1, 2] * p[2] + M[:, 1, 3]
+        wz = M[:, 2, 0] * p[0] + M[:, 2, 1] * p[1] + M[:, 2, 2] * p[2] + M[:, 2, 3]
+        cx = pv[0, 0] * wx + pv[0, 1] * wy + pv[0, 2] * wz + pv[0, 3]
+        cy = pv[1, 0] * wx + pv[1, 1] * wy + pv[1, 2] * wz + pv[1, 3]
+        cz = pv[2, 0] * wx + pv[2, 1] * wy + pv[2, 2] * wz + pv[2, 3]
+        cw = pv[3, 0] * wx + pv[3, 1] * wy + pv[3, 2] * wz + pv[3, 3]
+        if not np.all(cw > 1e-6):
+            return False
+        zs.append(cz / cw)
+        xs.append(cx / cw)
+        ys.append(cy / cw)
+    z = np.stack(zs)                    # (3 verts, T)
+    x = np.stack(xs)
+    y = np.stack(ys)
+    m = margin
+    # Per-TRIANGLE plane separation (sound frustum cull): a triangle is
+    # provably outside iff all 3 vertices fall beyond one common clip
+    # plane.  The whole map is empty iff every triangle is excluded —
+    # this handles mixed scenes (e.g. terrain peaks inside the sun's
+    # z-range but outside its xy window, and vice versa).
+    excluded = ((z > 1.0 + m).all(0) | (z < 0.0 - m).all(0)
+                | (x > 1.0 + m).all(0) | (x < -1.0 - m).all(0)
+                | (y > 1.0 + m).all(0) | (y < -1.0 - m).all(0))
+    return bool(np.all(excluded))
+
+
 def _finish(scene, models, config, camera_pos, camera_target, animate=False,
             atlas_size=1024):
     # bound the composition light scans by the actual scene lights
@@ -139,6 +180,14 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
 
     plan = _dc.replace(plan, main_grid=_cap(plan.main_grid),
                        shadow_grid=_cap(plan.shadow_grid))
+    # Statically-empty shadow proof (FramePlan.shadow_statically_empty
+    # docstring has the full reference-bug chain): if EVERY world-space
+    # vertex lands strictly outside the sun clip volume on the SAME
+    # side, no fragment can survive the shadow raster's clip, so the
+    # map provably stays at its 1.0 clear and the pass is elided.
+    mm_np, _ = scene.transform_matrices()
+    plan = _dc.replace(plan, shadow_statically_empty=bool(
+        _shadow_statically_empty(batch, np.asarray(mm_np))))
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
     # staging-upload analog; per-frame re-upload of the packed atlas
     # costs seconds)

@@ -1,0 +1,91 @@
+"""The statically-empty sun-shadow proof and its analytic composition.
+
+The reference's shadow volume never contains any scene geometry (the
+GLM ZO macros are misspelled -> [-1,1] depth mode, and the sun sits 40
+units above a +-16 ortho box: renderer.cpp:108-133, pch.hpp:17,
+camera.hpp:5), so its 4096^2 map stays at the 1.0 clear and
+sun_shadow = exp(-80(z-1)) ~ 0.  We reproduce the output while
+statically eliding the dead raster + ESM gather; these tests pin the
+proof and the output equivalence.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from soc_real_time_renderer_tpu import config as cfgm
+from soc_real_time_renderer_tpu import scenes
+from soc_real_time_renderer_tpu.config import RenderConfig
+from soc_real_time_renderer_tpu.graph import frame as fm
+from soc_real_time_renderer_tpu.ops import composition as comp
+
+
+def test_helmet_scene_proves_empty_and_matches_raster_path():
+    cfg = RenderConfig(width=128, height=128, shadow_resolution=128)
+    built = scenes.build("helmet", cfg)
+    assert built.plan.shadow_statically_empty, \
+        "helmet at y~0 under the y=40 sun must prove empty"
+    plan_e = dataclasses.replace(
+        built.plan,
+        main_grid=dataclasses.replace(built.plan.main_grid,
+                                      pair_cap=65536, med_cap=1024),
+        shadow_grid=dataclasses.replace(built.plan.shadow_grid,
+                                        pair_cap=65536, med_cap=1024),
+        interpret=True)
+    plan_r = dataclasses.replace(plan_e, shadow_statically_empty=False)
+    g, mm, nm = built.frame_globals(1)
+    hist = fm.RenderHistory.create(cfg)
+
+    out_e, _ = fm.render_frame(plan_e, built.batch, g, hist, mm, nm)
+    out_r, _ = fm.render_frame(plan_r, built.batch, g, hist, mm, nm)
+
+    # the rasterized map really is empty (all at the 1.0 clear) ...
+    assert out_e.shadow_map is None
+    np.testing.assert_array_equal(np.asarray(out_r.shadow_map), 1.0)
+    # ... and the analytic path is output-identical
+    np.testing.assert_allclose(np.asarray(out_e.color),
+                               np.asarray(out_r.color), atol=1e-6)
+
+
+def test_in_volume_geometry_defeats_the_proof():
+    from soc_real_time_renderer_tpu.models import proc
+    from soc_real_time_renderer_tpu.models.scene_batch import \
+        build_scene_batch
+    batch, _ = build_scene_batch([proc.unit_quad(z=-1.0, size=0.5)],
+                                 atlas_size=64)
+    # identity transform: quad at z=-1 near the origin -> z_sun ~ 1.78,
+    # outside [0,1] -> empty
+    eye = np.eye(4, dtype=np.float32)[None]
+    assert scenes._shadow_statically_empty(batch, eye)
+    # lift it into the sun volume (y ~ 40 - 8 = 32, inside the +-16
+    # z planes around the y=40 sun) -> proof must fail
+    lifted = eye.copy()
+    lifted[0, 1, 3] = 32.0
+    assert not scenes._shadow_statically_empty(batch, lifted)
+
+
+def test_empty_map_composition_matches_all_ones_map():
+    """compose(empty_shadow_map=True) == compose with a literal all-1.0
+    map, including the volumetric branch."""
+    rng = np.random.default_rng(3)
+    H, W, S = 16, 32, 64
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+    cam = Camera3D()
+    cam.resize(W, H)
+    g = cfgm.ShaderGlobals.create(
+        camera=camera_matrices(cam, [0, 0, 2], 1, W, H))
+    depth = jnp.asarray(rng.random((H, W), dtype=np.float32) * 0.4 + 0.5)
+    alb = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    emi = jnp.zeros((3, H, W), jnp.float32)
+    nrm = jnp.zeros((3, H, W), jnp.float32).at[2].set(1.0)
+    ssao = jnp.ones((H, W), jnp.float32)
+    ones_map = jnp.ones((S, S), jnp.float32)
+    for vol in (False, True):
+        a = comp.compose(g, depth, alb, emi, nrm, ssao, ones_map, None,
+                         enable_volumetric=vol, max_point_lights=0,
+                         max_spot_lights=0)
+        b = comp.compose(g, depth, alb, emi, nrm, ssao, None, None,
+                         enable_volumetric=vol, max_point_lights=0,
+                         max_spot_lights=0, empty_shadow_map=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, err_msg=f"vol={vol}")

@@ -51,8 +51,10 @@ class SceneBatch:
     static_rows: jax.Array   # (5, T) f32: [material_id, has_normal,
     #                           has_metallic_roughness, has_emissive,
     #                           is_terrain]
-    atlas_packed: jax.Array  # (44, M * layer_stride) uint8 (bilinear-expanded,
-    #                           11 sampled rows x 4 corners)
+    atlas_packed: jax.Array  # (M * layer_stride, 12) int32 row-major:
+    #                           11 sampled channels x 4 u32-packed
+    #                           bilinear corners per texel row
+    #                           (texture.expand_atlas_bilinear)
     cloud_noise: jax.Array | None = None  # (64, 64) f32 tiled cloud noise
     #                           (assets/Clouds/noise.png R channel,
     #                           cloud_rendering.inl:219-233); None falls

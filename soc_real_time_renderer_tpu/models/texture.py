@@ -240,16 +240,20 @@ N_SAMPLED = len(SAMPLED_ROWS)
 
 
 def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
-    """(16, N) packed atlas -> (44, N) device table: the 11 sampled
-    rows (SAMPLED_ROWS) x the four bilinear corners prestacked on the
-    row axis: rows [0:11] = texel (x, y), [11:22] = ((x+1) mod s, y),
-    [22:33] = (x, (y+1) mod s), [33:44] = both.
+    """(16, N) packed atlas -> (N, 12) int32 ROW-MAJOR device table:
+    each texel's row packs the 11 sampled channels (SAMPLED_ROWS) x the
+    four bilinear corners as u32 lanes
+    ``c00 | c10 << 8 | c01 << 16 | c11 << 24`` (lane 11 = pad), so a
+    full bilinear material tap is ONE gather whose 48 bytes are
+    CONTIGUOUS in HBM.
 
-    Measured gather cost is per-INDEX with a per-word row cost
-    (PERF.md), so this turns a bilinear material tap into ONE gather of
-    the minimum byte width.  The wrap neighbour of every texel is a
-    static function of its (level, y, x), so the expansion is exact and
-    done once at pack time.
+    Measured (PERF.md round 2): the big material table is
+    latency-bound (~22-34 ns/idx above ~32 MB); the column-major
+    (44, N) u8 layout paid 44 scattered row fetches per index
+    (92 ms/tap at 1080p), row-major contiguity + u32 corner packing
+    cuts it to ~64 ms.  The wrap neighbour of every texel is a static
+    function of its (level, y, x), so the expansion is exact and done
+    once at pack time.
     """
     size, n_levels = atlas.size, atlas.n_levels
     stride, M = atlas.layer_stride, atlas.num_materials
@@ -269,12 +273,14 @@ def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
         off += s * s
     base = np.arange(M, dtype=np.int64)[:, None] * stride
     p = atlas.packed[list(SAMPLED_ROWS)]
-    return np.concatenate([
-        p,
-        p[:, (base + mx[None, :]).ravel()],
-        p[:, (base + my[None, :]).ravel()],
-        p[:, (base + mxy[None, :]).ravel()],
-    ], axis=0)
+    c00 = p.astype(np.uint32)
+    c10 = p[:, (base + mx[None, :]).ravel()].astype(np.uint32)
+    c01 = p[:, (base + my[None, :]).ravel()].astype(np.uint32)
+    c11 = p[:, (base + mxy[None, :]).ravel()].astype(np.uint32)
+    packed = (c00 | (c10 << 8) | (c01 << 16) | (c11 << 24))  # (11, N)
+    out = np.zeros((packed.shape[1], 12), np.int32)
+    out[:, :11] = packed.astype(np.int32).T
+    return out
 
 
 def build_scene_atlas(image_refs, size: int = 1024, workers: int = 8

@@ -60,11 +60,17 @@ class GBuffer:
 
 def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
                           tri_uv, static_rows):
-    """(40, T+1) per-triangle shading records (one gather per pixel).
+    """(80, T+1) bfloat16 hi/lo per-triangle shading records (one
+    gather per pixel).
 
     world_pos/world_nrm: (3 verts, 3 xyz, T); tri_uv: (3 verts, 2, T);
-    static_rows: (5, T).  rows: [adj 9 | wpos 9 | wnrm 9 | uv 6 |
-    material_id, has_normal, has_mr, has_emissive, is_terrain | 2 pad].
+    static_rows: (5, T).  f32 rows [adj 9 | wpos 9 | wnrm 9 | uv 6 |
+    material_id, has_normal, has_mr, has_emissive, is_terrain | 2 pad]
+    are stored as bf16 hi (rows 0-39) + bf16 lo = x - f32(hi) (rows
+    40-79): the TPU gather of a bf16 table is ~6x cheaper than the
+    same gather in f32 (measured 25.3 -> 4.2 ms at 1080p, PERF.md
+    round 2), and hi + lo recovers ~16 mantissa bits — full precision
+    for interpolation weights/attributes at screen scale.
     Column T = sentinel.
     """
     T = setup.adj.shape[1]
@@ -76,7 +82,10 @@ def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
         static_rows,
         jnp.zeros((2, T), jnp.float32),
     ], axis=0)
-    return jnp.concatenate([rec, jnp.zeros((40, 1), jnp.float32)], axis=1)
+    rec = jnp.concatenate([rec, jnp.zeros((40, 1), jnp.float32)], axis=1)
+    hi = rec.astype(jnp.bfloat16)
+    lo = (rec - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)
 
 
 def _srgb_to_linear(x):
@@ -89,14 +98,16 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
                         filter_mode: str = "bilinear"):
     """Sample all 4 material textures at once from the packed atlas.
 
-    atlas: (44, N) uint8 — the bilinear-expanded atlas
-    (models/texture.expand_atlas_bilinear): the 11 sampled rows
-    (texture.SAMPLED_ROWS: albedo RGB, normal RGB, mr GB, emissive
-    RGB) x 4 wrap-shifted bilinear corners, so a bilinear tap is ONE
-    fat gather of minimum byte width (gather cost ~ bytes/index —
-    PERF.md).  mid: (P,) int32; uv: (2, P); lod: (P,).  Returns
-    (11, P) float32 in [0, 1] in SAMPLED_ROWS order.
-    level_off(l) = (4S² - 4(S>>l)²)/3 — arithmetic, no table gathers.
+    atlas: (N, 12) int32 ROW-MAJOR — each texel row packs the 11
+    sampled channels (texture.SAMPLED_ROWS: albedo RGB, normal RGB,
+    mr GB, emissive RGB) x 4 wrap-shifted bilinear corners as u32
+    lanes ``c00|c10<<8|c01<<16|c11<<24`` (texture.
+    expand_atlas_bilinear), so a bilinear tap is ONE gather whose
+    bytes are contiguous in HBM (the big-table gather is
+    latency-bound, PERF.md round 2).  mid: (P,) int32; uv: (2, P);
+    lod: (P,).  Returns (11, P) float32 in [0, 1] in SAMPLED_ROWS
+    order.  level_off(l) = (4S² - 4(S>>l)²)/3 — arithmetic, no table
+    gathers.
     """
     uvw = uv - jnp.floor(uv)
     base_m = mid * layer_stride
@@ -119,13 +130,16 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
         if not bilinear:
             idx = tap_idx(jnp.round(x).astype(jnp.int32),
                           jnp.round(y).astype(jnp.int32))
-            return atlas[:11, idx].astype(jnp.float32) / 255.0   # (11, P)
-        c = atlas[:, tap_idx(x0.astype(jnp.int32),
-                             y0.astype(jnp.int32))]
-        c = c.astype(jnp.float32) / 255.0                        # (44, P)
-        c00, c10, c01, c11 = c[:11], c[11:22], c[22:33], c[33:44]
+            c = atlas[idx][:, :11].T                             # (11, P)
+            return (c & 255).astype(jnp.float32) / 255.0
+        c = atlas[tap_idx(x0.astype(jnp.int32),
+                          y0.astype(jnp.int32))][:, :11].T       # (11, P)
+        c00 = (c & 255).astype(jnp.float32)
+        c10 = ((c >> 8) & 255).astype(jnp.float32)
+        c01 = ((c >> 16) & 255).astype(jnp.float32)
+        c11 = ((c >> 24) & 255).astype(jnp.float32)
         return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
-                + (c01 * (1 - fx) + c11 * fx) * fy)
+                + (c01 * (1 - fx) + c11 * fx) * fy) / 255.0
 
     lod = jnp.clip(lod, 0.0, float(n_levels - 1))
     if filter_mode == "nearest":
@@ -149,7 +163,8 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     miss = tri < 0
     t = jax.lax.optimization_barrier(jnp.where(miss, T, tri))
 
-    rec = shading_records[:, t]                       # (40, P)
+    rhl = shading_records[:, t]                       # (80, P) bf16 hi/lo
+    rec = rhl[:40].astype(jnp.float32) + rhl[40:].astype(jnp.float32)
 
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
     py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
@@ -194,7 +209,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     uv_v, dv_dx, dv_dy = interp(rec[28], rec[30], rec[32])
     uv = jnp.stack([uv_u, uv_v])                     # (2, P)
 
-    mid = rec[33].astype(jnp.int32)
+    mid = jnp.round(rec[33]).astype(jnp.int32)
     has_n = rec[34]
     has_mr = rec[35]
     has_e = rec[36]

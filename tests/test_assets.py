@@ -1,5 +1,6 @@
 """Asset pipeline tests: glTF, textures/atlas, EXR, terrain, scene batch."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from soc_real_time_renderer_tpu.models import gltf, proc, terrain, texture
@@ -96,7 +97,9 @@ def test_scene_batch_planar_layout():
     assert batch.tri_pos.shape == (3, 3, T)
     assert batch.tri_uv.shape == (3, 2, T)
     assert batch.static_rows.shape == (5, T)
-    assert batch.atlas_packed.shape[0] == 44
+    # row-major u32-packed bilinear table (texture.expand_atlas_bilinear)
+    assert batch.atlas_packed.shape[1] == 12
+    assert batch.atlas_packed.dtype == jnp.int32
 
 
 def test_split_large_triangles():

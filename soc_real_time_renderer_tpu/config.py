@@ -276,6 +276,10 @@ class RenderConfig:
     ssao_impl: str = "pallas"
     ssao_window_rows: int = 64    # half-res rows of the VMEM depth window
     ssao_window_lanes: int = 384  # half-res lanes (multiple of 128)
+    # TAA history reprojection: "pallas" = windowed VMEM kernel (~6x
+    # cheaper fetch; >margin/frame motion takes the off-screen path);
+    # "xla" = exact global bilinear gather.
+    taa_impl: str = "pallas"
     half_res_clouds: bool = True
     # Pass toggles (reference defaults: DoF & display disabled, SSR
     # computed but not composited, volumetric light zeroed).

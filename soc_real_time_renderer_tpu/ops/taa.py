@@ -28,9 +28,13 @@ GAUSS = [1 / 16, 1 / 8, 1 / 16,
 
 
 def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
-        resolution_hw):
+        resolution_hw, impl: str = "xla", interpret: bool | None = None):
     """color/prev_color: (3, H, W); depth: (H, W); velocity/prev_velocity:
-    (2, H, W); frame_counter: () int32.  Returns resolved (3, H, W)."""
+    (2, H, W); frame_counter: () int32.  Returns resolved (3, H, W).
+
+    impl="pallas" uses the windowed VMEM reprojection kernel
+    (ops/taa_pallas.py, ~6x cheaper history fetch; taps beyond the
+    window margins take the reference's off-screen path)."""
     H, W = depth.shape
     uv = sampling.grid_uv(H, W)                    # (2, H, W)
 
@@ -74,9 +78,15 @@ def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
     accum = jnp.where(off, 1.0, accum)
 
     # one packed history fetch: prev_color (3) + prev_velocity (2)
-    hist = sampling.sample_screen(
-        jnp.concatenate([prev_color, prev_velocity], axis=0),
-        jnp.stack([shift_u, shift_v]))
+    packed = jnp.concatenate([prev_color, prev_velocity], axis=0)
+    if impl == "pallas":
+        from . import taa_pallas
+        hist, oow = taa_pallas.reproject_history_pallas(
+            packed, velocity_s, interpret=interpret)
+        accum = jnp.where(oow > 0.5, 1.0, accum)
+    else:
+        hist = sampling.sample_screen(packed,
+                                      jnp.stack([shift_u, shift_v]))
     acc_color = jnp.clip(hist[:3], min_c, max_c)
     out = center * accum[None] + acc_color * (1.0 - accum[None])
 

@@ -76,7 +76,8 @@ def test_sharded_shade_distributes_rows(built):
     mesh = pmesh.make_mesh(8, dp=1)     # sp=8: 16-row bands at H=128
     plan_x = dataclasses.replace(
         built.plan, config=built.plan.config.replace(
-            ssao_impl="xla", cloud_noise_mode="procedural"))
+            ssao_impl="xla", cloud_noise_mode="procedural",
+            taa_impl="xla"))
 
     g, mm, nm = built.frame_globals(1)
     hist = frame_mod.RenderHistory.create(CFG)

@@ -182,9 +182,10 @@ def upsample_tent_conv(src, dst_h, dst_w):
     return up[:, :dst_h, :dst_w]
 
 
-def bloom(emissive, mip_count: int = 4):
-    """Full chain on the emissive target (conv fast path); additive
-    upsample back into each level (ONE+ONE) and finally into emissive."""
+def bloom_depthwise(emissive, mip_count: int = 4):
+    """Depthwise-conv chain (superseded by the MXU path below; kept as
+    a second oracle — it runs the filters on the VPU, ~12 ms at
+    1080p)."""
     H, W = emissive.shape[1:]
     mips = []
     cur = emissive
@@ -197,3 +198,80 @@ def bloom(emissive, mip_count: int = 4):
         h, w = mips[i].shape[1:]
         cur = mips[i] + upsample_tent_conv(cur, h, w)
     return emissive + upsample_tent_conv(cur, H, W)
+
+
+# ---------------------------------------------------------------------------
+# MXU implementation (the production path): each 2-D filter is SVD-split
+# into separable rank-1 terms (the tent is exactly rank 1, the 13-tap is
+# rank 3), and each 1-D pass is a banded-matrix matmul — the systolic
+# array eats the (C*H, W') @ (W', W) contractions (~100 GMAC total at
+# 1080p ~ 1 ms) where the depthwise conv ran on the VPU.
+# ---------------------------------------------------------------------------
+
+
+def _band_matrix(n_in, n_out, taps, stride: int = 1):
+    """(n_in, n_out) f32: B[i, o] = taps[i - stride*o] (valid conv)."""
+    ii = jnp.arange(n_in, dtype=jnp.int32)[:, None]
+    oo = jnp.arange(n_out, dtype=jnp.int32)[None, :]
+    d = ii - stride * oo
+    b = jnp.zeros((n_in, n_out), jnp.float32)
+    for k, w in enumerate(taps):
+        if w != 0.0:
+            b = b + jnp.where(d == k, jnp.float32(w), 0.0)
+    return b
+
+
+def _conv_sep_mxu(img, kernel, stride: int = 1, pad=None):
+    """Edge-padded 2-D correlation of (C, H, W) with `kernel` via
+    SVD-separable banded matmuls on the MXU (f32 accumulate).
+    kernel must be a STATIC numpy array (SVD happens at trace time)."""
+    kh, kw = kernel.shape
+    if pad is None:
+        pad = (kh // 2, kh - 1 - kh // 2, kw // 2, kw - 1 - kw // 2)
+    u, s, vt = np.linalg.svd(kernel)
+    terms = [(u[:, i] * s[i], vt[i]) for i in range(len(s))
+             if s[i] > 1e-7 * s[0]]
+    p = _edge_pad(img, *pad)
+    C, Hp, Wp = p.shape
+    H_out = (Hp - kh) // stride + 1
+    W_out = (Wp - kw) // stride + 1
+    out = None
+    for ky, kx in terms:
+        bx = _band_matrix(Wp, W_out, kx, stride)
+        by = _band_matrix(Hp, H_out, ky, stride)
+        t = jnp.einsum("chw,wx->chx", p, bx,
+                       preferred_element_type=jnp.float32)
+        t = jnp.einsum("chx,hy->cyx", t, by,
+                       preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
+
+
+def bloom(emissive, mip_count: int = 4):
+    """Full chain on the emissive target (MXU separable-banded path);
+    additive upsample back into each level (ONE+ONE) and finally into
+    emissive."""
+    H, W = emissive.shape[1:]
+    mips = []
+    cur = emissive
+    for i in range(mip_count):
+        h, w = max(H >> i, 1), max(W >> i, 1)
+        if (h, w) == cur.shape[1:]:
+            cur = _conv_sep_mxu(cur, _kernel_13tap())
+        else:
+            cur = _conv_sep_mxu(cur, _kernel_13tap_down(),
+                                stride=2, pad=(2, 3, 2, 3))[:, :h, :w]
+        mips.append(cur)
+    cur = mips[-1]
+    for i in range(mip_count - 2, -1, -1):
+        h, w = mips[i].shape[1:]
+        cur = mips[i] + _up_tent_mxu(cur, h, w)
+    return emissive + _up_tent_mxu(cur, H, W)
+
+
+def _up_tent_mxu(src, dst_h, dst_w):
+    t = _conv_sep_mxu(src, _kernel_tent())
+    if (dst_h, dst_w) == src.shape[1:]:
+        return t
+    up = _upsample2(t)
+    return up[:, :dst_h, :dst_w]

@@ -216,3 +216,16 @@ def test_sky_lut_matches_exact_path():
     scale = max(float(np.abs(exact).max()), 1e-3)
     assert np.abs(approx - exact).mean() / scale < 0.08
     assert abs(approx.mean() - exact.mean()) / scale < 0.04
+
+
+def test_bloom_mxu_matches_oracles():
+    """The MXU separable-banded bloom == the shift-chain oracle == the
+    depthwise-conv path (all three implement bloom_downsample.inl /
+    bloom_upsample.inl exactly)."""
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((3, 48, 160), dtype=np.float32) * 5.0)
+    a = np.asarray(bloom.bloom(img))
+    b = np.asarray(bloom.bloom_shifts(img))
+    c = np.asarray(bloom.bloom_depthwise(img))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a, c, atol=2e-4)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Run all five BASELINE.json configs through the scan harness and
+print one table (the single source of truth for BASELINE.md).
+
+Usage: python tools/bench_baselines.py [--frames 32]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--only", type=int, default=0, help="run one config")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.config import RenderConfig
+    from soc_real_time_renderer_tpu.graph import frame as frame_mod
+
+    # BASELINE.json configs 1-5
+    CONFIGS = [
+        (1, "helmet 640x360 G-buffer + direct light + tonemap only",
+         "helmet", dict(width=640, height=384, shadow_resolution=1024,
+                        enable_ssao=False, enable_bloom=False,
+                        enable_clouds=False, enable_taa=False,
+                        enable_auto_exposure=False, enable_hiz=False)),
+        (2, "helmet + normal mapping + shadow map + SSAO, 1280x720",
+         "helmet", dict(width=1280, height=736, shadow_resolution=4096,
+                        enable_bloom=False, enable_clouds=False,
+                        enable_taa=False, enable_auto_exposure=False,
+                        enable_hiz=False)),
+        (3, "sponza full screen-space stack, 1280x720",
+         "sponza", dict(width=1280, height=736)),
+        (4, "terrain + shadow + atmosphere sky, 1920x1080",
+         "terrain", dict(width=1920, height=1088)),
+        (5, "full scene (sponza+terrain+clouds+TAA+exposure), 1920x1080",
+         "full", dict(width=1920, height=1088)),
+    ]
+
+    for num, desc, scene, kw in CONFIGS:
+        if args.only and num != args.only:
+            continue
+        cfg = RenderConfig(**kw)
+        built = scenes.build(scene, cfg)
+        plan = built.plan
+        cfg = plan.config
+        gs = []
+        for i in range(args.frames):
+            g, mm, nm = built.frame_globals(i + 1)
+            gs.append(g)
+        gb = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *gs)
+
+        def run(batch, gb, hist, mm, nm, plan=plan):
+            def step(h, g):
+                out, h2 = frame_mod.render_frame(plan, batch, g, h, mm, nm)
+                probe = out.color[:, ::64, ::64].sum()
+                if out.hiz_min is not None:
+                    probe += out.hiz_min[-1].sum() + out.hiz_max[-1].sum()
+                return h2, probe
+            return jax.lax.scan(step, hist, gb)
+
+        runj = jax.jit(run, donate_argnames=("hist",))
+        hist = frame_mod.RenderHistory.create(cfg)
+        t0 = time.perf_counter()
+        _, probes = runj(built.batch, gb, hist, mm, nm)
+        float(probes.sum())
+        compile_s = time.perf_counter() - t0
+        hist = frame_mod.RenderHistory.create(cfg)
+        t0 = time.perf_counter()
+        _, probes = runj(built.batch, gb, hist, mm, nm)
+        float(probes.sum())
+        ms = (time.perf_counter() - t0) * 1e3 / args.frames
+        tris = built.batch.num_triangles
+        mpix = cfg.width * cfg.height / 1e6
+        print(f"config {num}: {ms:8.2f} ms/frame  "
+              f"({tris/1e3:.0f}k tris, {tris * 1e3 / ms / 1e6:.0f} Mtris/s, "
+              f"{mpix * 1e3 / ms:.0f} Mpix/s, compile {compile_s:.0f}s)  "
+              f"— {desc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

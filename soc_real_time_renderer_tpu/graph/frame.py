@@ -104,6 +104,12 @@ class FramePlan:
     # and composition uses the exact constant-1.0 map analytically —
     # output-identical, ~58 ms/frame cheaper at 1080p.
     shadow_statically_empty: bool = False
+    # The sun projection_view the emptiness proof was run against
+    # (flattened row-major tuple, hashable).  make_render_fn verifies
+    # each frame's g.sun against it: the proof is only sound for the
+    # proved matrices, and silently substituting the 1.0 map under a
+    # different sun would render wrong shadows with no error.
+    proved_sun_pv: tuple | None = None
 
     @staticmethod
     def create(config: RenderConfig, atlas: PackedMaterialAtlas,
@@ -316,6 +322,19 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         interp = plan.interpret
         if interp is None:
             interp = jax.default_backend() not in ("tpu", "axon")
+        if cfg.cloud_noise_mode == "texture" and (
+                batch.cloud_noise is None or interp):
+            # requested the real-noise kernel but taking the procedural
+            # fallback (CPU run or missing noise asset): outputs change
+            # shape class, so say so once per trace (ADVICE round 2)
+            import warnings
+            why = ("batch.cloud_noise is missing"
+                   if batch.cloud_noise is None else
+                   "Pallas interpret mode (CPU run)")
+            warnings.warn(
+                f"cloud_noise_mode='texture' falling back to the "
+                f"procedural sky LUT: {why}; cloud shapes will differ "
+                f"from the reference noise texture.", stacklevel=2)
         if (cfg.cloud_noise_mode == "texture"
                 and batch.cloud_noise is not None and not interp):
             # real-noise Pallas kernel; TPU-only — the interpreted
@@ -396,14 +415,46 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                  history: RenderHistory,
                  model_mats, normal_mats) -> tuple[FrameOutputs, RenderHistory]:
     """One frame. All array args are traced; `plan` is static."""
+    check_sun_proof(plan, g)
     vis, records, shadow_map, overflow = raster_stage(
         plan, batch, g, model_mats, normal_mats)
     return shade_stage(plan, batch, g, history, vis, records, shadow_map,
                        overflow)
 
 
+def check_sun_proof(plan: FramePlan, g: ShaderGlobals):
+    """Raise if `plan` elides the sun shadow pass but `g` carries a sun
+    the emptiness proof was not run against (ADVICE round 2: the proof
+    is baked at scene build; an arbitrary caller-supplied sun must not
+    silently inherit it)."""
+    if not plan.shadow_statically_empty or plan.proved_sun_pv is None:
+        return
+    pv = g.sun.projection_view
+    if isinstance(pv, jax.core.Tracer):
+        return  # traced: the host-side wrapper already checked
+    import numpy as np
+    proved = np.asarray(plan.proved_sun_pv, np.float32).reshape(4, 4)
+    if not np.allclose(np.asarray(pv), proved, atol=1e-6):
+        raise ValueError(
+            "FramePlan.shadow_statically_empty was proved for a different "
+            "sun projection_view than this frame's g.sun. Rebuild the "
+            "scene plan for the new sun (scenes._finish re-runs the "
+            "proof) or set shadow_statically_empty=False.")
+
+
 def make_render_fn(plan: FramePlan):
     """Jitted frame function with history donated (the frames-in-flight
-    ring buffer analog: TAA/exposure state updates in place)."""
-    f = functools.partial(render_frame, plan)
-    return jax.jit(f, donate_argnames=("history",))
+    ring buffer analog: TAA/exposure state updates in place).
+
+    The wrapper validates g.sun against the shadow-elision proof before
+    dispatch (16-float host compare; see check_sun_proof)."""
+    f = jax.jit(functools.partial(render_frame, plan),
+                donate_argnames=("history",))
+    if not plan.shadow_statically_empty:
+        return f
+
+    def checked(batch, g, history, model_mats, normal_mats):
+        check_sun_proof(plan, g)
+        return f(batch, g, history, model_mats, normal_mats)
+
+    return checked

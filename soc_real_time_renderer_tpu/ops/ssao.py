@@ -314,6 +314,12 @@ def ssao_generate_pallas(depth, normal, g, kernel_size: int = 26,
         interpret = jax.default_backend() not in ("tpu", "axon")
 
     H, W = depth.shape
+    if H % 2 or W % 2:
+        # dense_resample's reshape-mean half-res equals the reference's
+        # bilinear half-res taps only for even dimensions (ADVICE round
+        # 2); all shipped configs pad to even — fall back to the exact
+        # gather path rather than silently deviating.
+        return ssao_generate(depth, normal, g, kernel_size)
     h, w = H // 2, W // 2
     frag_pos, tangent, bitangent, normal_v = _preamble(
         depth, normal, g, dense_resample=True)

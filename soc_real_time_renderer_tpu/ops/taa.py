@@ -79,6 +79,7 @@ def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
 
     # one packed history fetch: prev_color (3) + prev_velocity (2)
     packed = jnp.concatenate([prev_color, prev_velocity], axis=0)
+    oow = None
     if impl == "pallas":
         from . import taa_pallas
         hist, oow = taa_pallas.reproject_history_pallas(
@@ -94,4 +95,12 @@ def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
     dv = pv - velocity_s
     vel_len = jnp.sqrt(dv[0] * dv[0] + dv[1] * dv[1])
     disocc = jnp.clip((vel_len - 0.001) * 10.0, 0.0, 1.0)
+    if oow is not None:
+        # Out-of-window taps return a WINDOW-edge-clamped prev velocity
+        # (not the reference's screen-edge clamp), so the disocclusion
+        # term would blend toward blurred differently than the
+        # reference.  Those pixels already take the accum=1 off-screen
+        # path (history contribution gone), so zero disocclusion there
+        # instead of feeding it a wrong velocity (ADVICE round 2).
+        disocc = jnp.where(oow > 0.5, 0.0, disocc)
     return out + (blurred - out) * disocc[None]

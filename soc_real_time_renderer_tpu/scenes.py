@@ -186,8 +186,17 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     # side, no fragment can survive the shadow raster's clip, so the
     # map provably stays at its 1.0 clear and the pass is elided.
     mm_np, _ = scene.transform_matrices()
-    plan = _dc.replace(plan, shadow_statically_empty=bool(
-        _shadow_statically_empty(batch, np.asarray(mm_np))))
+    empty = bool(_shadow_statically_empty(batch, np.asarray(mm_np)))
+    proved = None
+    if empty:
+        # record WHICH sun the proof holds for; make_render_fn rejects
+        # frames whose g.sun differs (ADVICE round 2, scenes.py item)
+        proved = tuple(
+            float(v) for v in
+            np.asarray(cfg_mod.SunInfo.create().projection_view,
+                       np.float32).ravel())
+    plan = _dc.replace(plan, shadow_statically_empty=empty,
+                       proved_sun_pv=proved)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
     # staging-upload analog; per-frame re-upload of the packed atlas
     # costs seconds)

@@ -64,6 +64,26 @@ def test_in_volume_geometry_defeats_the_proof():
     assert not scenes._shadow_statically_empty(batch, lifted)
 
 
+def test_non_default_sun_rejected_when_elided():
+    """A caller-supplied sun that differs from the proved one must be
+    rejected, not silently composed against the 1.0 map (ADVICE r2)."""
+    import pytest
+    cfg = RenderConfig(width=128, height=128, shadow_resolution=128)
+    built = scenes.build("helmet", cfg)
+    assert built.plan.shadow_statically_empty
+    assert built.plan.proved_sun_pv is not None
+    g, mm, nm = built.frame_globals(1)
+    hist = fm.RenderHistory.create(cfg)
+    plan = dataclasses.replace(built.plan, interpret=True)
+    # default sun passes the guard (trace only; eval_shape avoids compute)
+    fm.check_sun_proof(plan, g)
+    # a moved sun must raise before any rendering happens
+    bad_sun = cfgm.SunInfo.create(position=(0.0, 10.0, 0.0))
+    g_bad = dataclasses.replace(g, sun=bad_sun)
+    with pytest.raises(ValueError, match="different"):
+        fm.render_frame(plan, built.batch, g_bad, hist, mm, nm)
+
+
 def test_empty_map_composition_matches_all_ones_map():
     """compose(empty_shadow_map=True) == compose with a literal all-1.0
     map, including the volumetric branch."""

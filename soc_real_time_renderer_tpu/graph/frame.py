@@ -84,6 +84,12 @@ class FramePlan:
     atlas_layer_stride: int
     atlas_n_levels: int
     texture_filter: str = "bilinear"
+    # texture tap backend: "pallas" = tile-resident windowed sampler
+    # (ops/texsample.py, VERDICT r2 item 1) with the XLA gather as the
+    # dirty-tile fallback; "xla" = exact global gather only.
+    texture_impl: str = "pallas"
+    atlas_num_materials: int = 1
+    tex_dirty_cap: int = 256     # fallback tiles before OVERFLOW_TEX_DIRTY
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so
@@ -124,6 +130,7 @@ class FramePlan:
                          atlas_layer_stride=atlas.layer_stride,
                          atlas_n_levels=atlas.n_levels,
                          texture_filter=texture_filter,
+                         atlas_num_materials=atlas.num_materials,
                          interpret=interpret)
 
 
@@ -268,11 +275,22 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         hiz_min = hiz_ops.build_hiz(vis.depth, "min")
         hiz_max = hiz_ops.build_hiz(vis.depth, "max")
 
-    # ---- deferred G-buffer resolve (T6 fragment semantics)
-    gbuf = gbuf_ops.resolve_gbuffer(
+    # ---- deferred G-buffer resolve (T6 fragment semantics); the
+    # texture tap runs in the tile-resident Pallas sampler when the
+    # batch carries an atlas page (ops/texsample.py)
+    interp = plan.interpret
+    if interp is None:
+        interp = jax.default_backend() not in ("tpu", "axon")
+    use_page = (plan.texture_impl == "pallas"
+                and batch.atlas_page is not None)
+    gbuf, tex_overflow = gbuf_ops.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
-        n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter)
+        n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter,
+        atlas_page=batch.atlas_page if use_page else None,
+        num_materials=plan.atlas_num_materials,
+        tex_dirty_cap=plan.tex_dirty_cap, interpret=interp)
+    overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole
     # G-buffer math into each consumer tap and RECOMPUTES it per tap

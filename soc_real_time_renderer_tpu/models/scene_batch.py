@@ -59,6 +59,9 @@ class SceneBatch:
     #                           (assets/Clouds/noise.png R channel,
     #                           cloud_rendering.inl:219-233); None falls
     #                           back to the procedural sky LUT
+    atlas_page: object | None = None  # ops/texsample.AtlasPageDevice —
+    #                           wrap-padded bf16 (mat, level) page for
+    #                           the tile-resident Pallas texture tap
 
     @property
     def num_triangles(self):
@@ -176,11 +179,15 @@ def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
         ter,
     ], axis=0)
 
+    from ..ops import texsample
+    page = texsample.build_atlas_page(atlas)
     batch = SceneBatch(
         tri_pos=np.ascontiguousarray(pos.transpose(1, 2, 0)),
         tri_nrm=np.ascontiguousarray(nrm.transpose(1, 2, 0)),
         tri_uv=np.ascontiguousarray(uv.transpose(1, 2, 0)),
         tri_entity=ent, static_rows=has,
         atlas_packed=expand_atlas_bilinear(atlas),
+        atlas_page=texsample.AtlasPageDevice(
+            page=page.page, row0=page.row0, col0=page.col0),
     )
     return batch, atlas

@@ -142,6 +142,10 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
                 + (c01 * (1 - fx) + c11 * fx) * fy) / 255.0
 
     lod = jnp.clip(lod, 0.0, float(n_levels - 1))
+    if filter_mode == "none":
+        # attribution probe (tools/bench_toggle.py): constant texel,
+        # zero atlas gathers — NOT a rendering mode
+        return jnp.broadcast_to(jnp.float32(0.5), (11,) + uv.shape[1:])
     if filter_mode == "nearest":
         return level_fetch(jnp.round(lod).astype(jnp.int32), bilinear=False)
     if filter_mode == "bilinear":
@@ -154,8 +158,19 @@ def sample_packed_atlas(atlas, mid, uv, lod, *, size: int,
 
 def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     prev_view_proj, *, atlas_size: int, layer_stride: int,
-                    n_levels: int, filter_mode: str = "bilinear") -> GBuffer:
-    """Shade the visibility buffer into the 5-target G-buffer."""
+                    n_levels: int, filter_mode: str = "bilinear",
+                    atlas_page=None, num_materials: int = 0,
+                    tex_dirty_cap: int = 256,
+                    interpret: bool = False) -> tuple[GBuffer, jax.Array]:
+    """Shade the visibility buffer into the 5-target G-buffer.
+
+    atlas_page: ops/texsample.AtlasPageDevice — when given (and H, W
+    are multiples of 32), material textures are sampled by the
+    tile-resident Pallas kernel with the XLA gather as dirty-tile
+    fallback; otherwise the exact XLA gather path runs.  Returns
+    (gbuffer, tex_overflow) — tex_overflow is OVERFLOW_TEX_DIRTY when
+    dirty tiles exceeded tex_dirty_cap.
+    """
     H, W = vis.depth.shape
     T = shading_records.shape[1] - 1
 
@@ -219,9 +234,20 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                          du_dy ** 2 + dv_dy ** 2) * (atlas_size ** 2)
     lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
 
-    tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
-                              layer_stride=layer_stride, n_levels=n_levels,
-                              filter_mode=filter_mode)     # (11, P)
+    tex_overflow = jnp.int32(0)
+    if (atlas_page is not None and H % 32 == 0 and W % 32 == 0
+            and filter_mode in ("bilinear", "trilinear")):
+        from . import texsample
+        tex, tex_overflow = texsample.sample_atlas_tiled(
+            atlas_page, mid, uv, lod, ~miss, atlas, size=atlas_size,
+            n_levels=n_levels, num_materials=num_materials,
+            layer_stride=layer_stride, filter_mode=filter_mode,
+            dirty_cap=tex_dirty_cap, interpret=interpret, H=H, W=W)
+    else:
+        tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
+                                  layer_stride=layer_stride,
+                                  n_levels=n_levels,
+                                  filter_mode=filter_mode)  # (11, P)
     albedo_t = _srgb_to_linear(tex[0:3])
     normal_t = tex[3:6]
     mr_gb = tex[6:8]
@@ -269,4 +295,4 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
 
     return GBuffer(albedo=plane(albedo), emissive=plane(emissive),
                    normal=plane(normal), metallic_roughness=plane(mr),
-                   velocity=plane(velocity), depth=vis.depth)
+                   velocity=plane(velocity), depth=vis.depth), tex_overflow

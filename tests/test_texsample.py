@@ -1,0 +1,152 @@
+"""Tile-resident Pallas texture sampler vs the exact XLA gather.
+
+The kernel path (ops/texsample.py) must reproduce
+ops/gbuffer.sample_packed_atlas — same nearest-mip bilinear math
+(g_buffer_generation.inl:186-224 semantics) — up to bf16 blend
+rounding on clean tiles and exactly on dirty (fallback) tiles.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soc_real_time_renderer_tpu.models.texture import (
+    PackedMaterialAtlas, expand_atlas_bilinear)
+from soc_real_time_renderer_tpu.ops import gbuffer, texsample
+
+
+def _toy_atlas(M=3, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    n_levels = int(np.log2(size)) + 1
+    stride = sum((size >> k) ** 2 for k in range(n_levels))
+    packed = rng.integers(0, 256, (16, M * stride), dtype=np.uint8)
+    return PackedMaterialAtlas(packed=packed, size=size, num_materials=M,
+                               layer_stride=stride, n_levels=n_levels)
+
+
+def _page_dev(atlas):
+    page = texsample.build_atlas_page(atlas)
+    return texsample.AtlasPageDevice(page=jnp.asarray(page.page),
+                                     row0=jnp.asarray(page.row0),
+                                     col0=jnp.asarray(page.col0))
+
+
+def _smooth_fields(H, W, M, seed=1):
+    """Surface-like fields: per-tile-coherent material, smooth uv with
+    ~1 texel/px density at the chosen lod, mild lod gradient."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    lod = 1.0 + 1.5 * xx / W + 0.3 * yy / H          # in [1, 2.8]
+    # uv scaled so texel density matches lod at a 64-base texture:
+    # deriv = 2^lod / 64 per px
+    u = np.cumsum(2.0 ** lod[:, 0][:, None] * 0 + 2.0 ** lod / 64.0,
+                  axis=1) / 1.0
+    v = np.cumsum(2.0 ** lod / 64.0, axis=0)
+    u = u + 3.0          # exercise wrap (unwrapped uv > 1)
+    # blocky materials (64px blocks -> tiles see 1-2 materials)
+    mid = ((yy // 64).astype(int) * 2 + (xx // 64).astype(int)) % M
+    live = rng.random((H, W)) > 0.05
+    return (jnp.asarray(mid.reshape(-1), jnp.int32),
+            jnp.stack([jnp.asarray(u.reshape(-1)),
+                       jnp.asarray(v.reshape(-1))]),
+            jnp.asarray(lod.reshape(-1)),
+            jnp.asarray(live.reshape(-1)))
+
+
+@pytest.mark.parametrize("filter_mode", ["bilinear", "trilinear"])
+def test_clean_tiles_match_xla(filter_mode):
+    atlas = _toy_atlas()
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 64
+    mid, uv, lod, live = _smooth_fields(H, W, atlas.num_materials)
+
+    got, overflow = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, filter_mode=filter_mode,
+        interpret=True, H=H, W=W)
+    want = gbuffer.sample_packed_atlas(
+        jnp.asarray(dev), mid, uv,
+        jnp.clip(lod, 0, atlas.n_levels - 1), size=atlas.size,
+        layer_stride=atlas.layer_stride, n_levels=atlas.n_levels,
+        filter_mode=filter_mode)
+
+    assert int(overflow) == 0
+    m = np.asarray(live)
+    err = np.abs(np.asarray(got) - np.asarray(want))[:, m]
+    assert err.max() < 3.5 / 255.0, err.max()   # bf16 blend rounding
+    assert err.mean() < 0.6 / 255.0
+
+
+def test_incoherent_tiles_fall_back_exactly():
+    """Random uv per pixel -> every tile dirty -> fallback path must be
+    the exact XLA gather (zero additional error)."""
+    atlas = _toy_atlas(seed=2)
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 32
+    rng = np.random.default_rng(3)
+    Pn = H * W
+    mid = jnp.asarray(rng.integers(0, atlas.num_materials, Pn), jnp.int32)
+    uv = jnp.asarray(rng.random((2, Pn), dtype=np.float32) * 4 - 1)
+    lod = jnp.asarray(rng.random(Pn, dtype=np.float32) * 4)
+    live = jnp.ones((Pn,), bool)
+
+    got, overflow = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, filter_mode="bilinear",
+        interpret=True, H=H, W=W)
+    want = gbuffer.sample_packed_atlas(
+        jnp.asarray(dev), mid, uv, jnp.clip(lod, 0, atlas.n_levels - 1),
+        size=atlas.size, layer_stride=atlas.layer_stride,
+        n_levels=atlas.n_levels, filter_mode="bilinear")
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)
+
+
+def test_dirty_cap_overflow_flag():
+    atlas = _toy_atlas(seed=4)
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 64  # 4 tiles
+    rng = np.random.default_rng(5)
+    Pn = H * W
+    mid = jnp.asarray(rng.integers(0, atlas.num_materials, Pn), jnp.int32)
+    uv = jnp.asarray(rng.random((2, Pn), dtype=np.float32) * 8)
+    lod = jnp.asarray(rng.random(Pn, dtype=np.float32) * 3)
+    live = jnp.ones((Pn,), bool)
+    _, overflow = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, dirty_cap=1,
+        interpret=True, H=H, W=W)
+    assert int(overflow) == texsample.OVERFLOW_TEX_DIRTY
+
+
+def test_frame_integration_pallas_vs_xla():
+    """Full helmet frame: texture_impl='pallas' must match 'xla'."""
+    from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.config import RenderConfig
+    from soc_real_time_renderer_tpu.graph import frame as fm
+
+    cfg = RenderConfig(width=128, height=128, shadow_resolution=128,
+                       enable_clouds=False, enable_bloom=False,
+                       enable_taa=False, enable_auto_exposure=False,
+                       enable_hiz=False)
+    built = scenes.build("helmet", cfg)
+    g, mm, nm = built.frame_globals(1)
+    hist = fm.RenderHistory.create(cfg)
+    plan_p = dataclasses.replace(built.plan, interpret=True,
+                                 texture_impl="pallas")
+    plan_x = dataclasses.replace(built.plan, interpret=True,
+                                 texture_impl="xla")
+    out_p, _ = fm.render_frame(plan_p, built.batch, g, hist, mm, nm)
+    out_x, _ = fm.render_frame(plan_x, built.batch, g, hist, mm, nm)
+    a = np.asarray(out_p.color)
+    b = np.asarray(out_x.color)
+    assert np.abs(a - b).max() < 0.03, np.abs(a - b).max()
+    assert np.abs(a - b).mean() < 0.002

@@ -58,8 +58,8 @@ def main():
     globals_batch = jax.tree_util.tree_map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *gs)
 
-    def measure(cfg):
-        plan = dataclasses.replace(built.plan, config=cfg)
+    def measure(cfg, **plan_kw):
+        plan = dataclasses.replace(built.plan, config=cfg, **plan_kw)
 
         def run(batch, gb, hist, mm, nm):
             def step(h, g):
@@ -96,12 +96,22 @@ def main():
         "auto_exposure": cfg0.replace(enable_auto_exposure=False),
         "hiz": cfg0.replace(enable_hiz=False),
         "ssao_xla": cfg0.replace(ssao_impl="xla"),
+        # texture-filter plan variants: "tex_none" skips the atlas
+        # gather entirely (constant texel) — its delta IS the in-frame
+        # atlas tap cost; "tex_trilinear" doubles the tap.
+        "tex_none": (cfg0, dict(texture_filter="none")),
+        "tex_nearest": (cfg0, dict(texture_filter="nearest")),
+        "tex_trilinear": (cfg0, dict(texture_filter="trilinear")),
     }
     for name in args.toggles.split(","):
         if name not in variants:
             print(f"{name:24s} (unknown toggle)")
             continue
-        ms, cs = measure(variants[name])
+        v = variants[name]
+        if isinstance(v, tuple):
+            ms, cs = measure(v[0], **v[1])
+        else:
+            ms, cs = measure(v)
         tag = "-" + name if not name.endswith("_xla") else name
         print(f"{tag:24s} {ms:8.2f} ms/frame  delta {base_ms - ms:+8.2f}"
               f"  (compile {cs:.0f}s)", flush=True)

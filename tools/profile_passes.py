@@ -108,7 +108,7 @@ def main():
     vis, setup = raster2.rasterize(clip, plan.main_grid, "front", False)
     records = gbuffer.build_shading_records(setup, world, wnrm, batch.tri_uv,
                                             batch.static_rows)
-    gbuf = gbuffer.resolve_gbuffer(
+    gbuf, _ = gbuffer.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
         n_levels=plan.atlas_n_levels, filter_mode=args.filter)
@@ -129,7 +129,7 @@ def main():
               atlas_size=plan.atlas_size,
               layer_stride=plan.atlas_layer_stride,
               n_levels=plan.atlas_n_levels,
-              filter_mode=args.filter).albedo,
+              filter_mode=args.filter)[0].albedo,
           vis, records, batch.atlas_packed)
     timed("bloom", lambda e: bloom.bloom(e, cfg.bloom_mip_count),
           gbuf.emissive)

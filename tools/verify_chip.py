@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""On-chip correctness pinning (VERDICT r2 item 2).
+
+CI runs every Pallas kernel in interpret mode (tests/conftest.py pins
+CPU); Mosaic lowering differences would ship silently.  This tool runs
+each production-kernel-vs-oracle parity check NATIVELY on the TPU and
+exits nonzero on any mismatch:
+
+  1. raster resolve vs the numpy oracle (small synthetic scene)
+  2. Pallas windowed SSAO vs the exact XLA path (real scene fields)
+  3. Pallas TAA reprojection vs the exact XLA path
+  4. Pallas sky LUT (real noise texture) vs the exact per-pixel LUT
+  5. tile-resident texture sampler vs the exact XLA atlas gather
+  6. the five BASELINE configs' first frames vs committed goldens
+     (tests/goldens_chip/*.png; --update rewrites them)
+
+Golden tolerance: mean |diff| < 2/255 and p99 |diff| < 12/255 per
+config — wide enough for cross-compiler float reassociation, tight
+enough that any real lowering bug (wrong window, flushed denormal,
+misaligned DMA) fails loudly.
+
+Usage: python tools/verify_chip.py [--update] [--skip-goldens]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GOLD_DIR = os.path.join(os.path.dirname(__file__), "..", "tests",
+                        "goldens_chip")
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "ok " if ok else "FAIL"
+    print(f"[{status}] {name}  {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true",
+                    help="rewrite golden PNGs instead of comparing")
+    ap.add_argument("--skip-goldens", action="store_true")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0]})", flush=True)
+    if backend not in ("tpu", "axon"):
+        print("ERROR: verify_chip must run on the real TPU", flush=True)
+        return 2
+
+    from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.config import RenderConfig
+    from soc_real_time_renderer_tpu.graph import frame as fm
+    from soc_real_time_renderer_tpu.ops import raster2
+
+    # ---- a small scene reused by the kernel checks
+    cfg = RenderConfig(width=256, height=256, shadow_resolution=256)
+    built = scenes.build("helmet", cfg)
+    g, mm, nm = built.frame_globals(1)
+    plan = built.plan
+
+    # 1. raster resolve vs numpy oracle ---------------------------------
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from raster_oracle import naive_raster
+    rng = np.random.default_rng(7)
+    Tn = 64
+    verts = rng.normal(size=(Tn * 3, 3)).astype(np.float32)
+    verts[:, 2] -= 4.0
+    from soc_real_time_renderer_tpu.utils import mathutil as mu
+    proj = mu.perspective(60.0, 1.0, 0.1, 100.0)
+    clipv = (verts @ proj[:, :3].T + proj[:, 3]).astype(np.float32)
+    idx = np.arange(Tn * 3).reshape(Tn, 3)
+    od, ot = naive_raster(clipv, idx, 128, 128, cull="front")
+    clip_planar = np.ascontiguousarray(
+        clipv.reshape(Tn, 3, 4).transpose(1, 2, 0))
+    grid = raster2.BinGrid(width=128, height=128, pair_cap=16384,
+                           med_cap=512)
+    vis, _ = raster2.rasterize_jit(jnp.asarray(clip_planar), grid,
+                                   "front", False)
+    kd = np.asarray(vis.depth)
+    kt = np.asarray(vis.tri_id)
+    same_id = (kt == ot).mean()
+    derr = np.abs(kd - od).max()
+    check("raster-vs-oracle", same_id > 0.999 and derr < 1e-4,
+          f"id match {same_id:.4f}, depth err {derr:.2e}")
+
+    # frame fields for the screen-space kernel checks
+    out, _ = fm.render_frame(
+        dataclasses.replace(plan, interpret=False), built.batch, g,
+        fm.RenderHistory.create(cfg), mm, nm)
+    depth = out.gbuffer.depth
+    normal = out.gbuffer.normal
+
+    # 2. SSAO pallas vs xla ---------------------------------------------
+    from soc_real_time_renderer_tpu.ops import ssao as ssao_ops
+    a = ssao_ops.ssao_blur(ssao_ops.ssao_generate_pallas(
+        depth, normal, g, interpret=False))
+    b = ssao_ops.ssao_blur(ssao_ops.ssao_generate(depth, normal, g))
+    err = float(jnp.abs(a - b).mean())
+    check("ssao-pallas-vs-xla", err < 0.01, f"mean err {err:.5f}")
+
+    # 3. TAA pallas vs xla ----------------------------------------------
+    from soc_real_time_renderer_tpu.ops import taa_pallas
+    from soc_real_time_renderer_tpu.ops import sampling
+    H, W = cfg.height, cfg.width
+    rng2 = np.random.default_rng(11)
+    packed = jnp.asarray(rng2.random((5, H, W), dtype=np.float32))
+    vel = jnp.asarray(
+        (rng2.random((2, H, W), dtype=np.float32) - 0.5) * 8.0 / W)
+    hist, oow = taa_pallas.reproject_history_pallas(
+        packed.astype(jnp.bfloat16).astype(jnp.float32), vel,
+        interpret=False)
+    uvg = sampling.grid_uv(H, W)
+    exact = sampling.sample_screen(
+        packed.astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.stack([uvg[0] - vel[0], uvg[1] - vel[1]]))
+    inw = np.asarray(oow) < 0.5
+    terr = float(np.abs(np.asarray(hist) - np.asarray(exact))[:, inw].max())
+    check("taa-pallas-vs-xla", terr < 0.02,
+          f"in-window max err {terr:.5f} ({inw.mean():.1%} in-window)")
+
+    # 4. sky LUT kernel vs exact ----------------------------------------
+    if built.batch.cloud_noise is not None:
+        from soc_real_time_renderer_tpu.ops import clouds as clouds_ops
+        from soc_real_time_renderer_tpu.ops import sky_pallas
+        lut_k = sky_pallas.render_sky_lut_pallas(
+            g, built.batch.cloud_noise, interpret=False)
+        lut_e = clouds_ops.render_sky_lut(
+            g, noise_tex=built.batch.cloud_noise)
+        serr = float(jnp.abs(lut_k - lut_e).mean())
+        check("sky-lut-pallas-vs-exact", serr < 0.02,
+              f"mean err {serr:.5f}")
+    else:
+        check("sky-lut-pallas-vs-exact", True, "(no noise asset; skipped)")
+
+    # 5. texture sampler pallas vs xla ----------------------------------
+    from soc_real_time_renderer_tpu.ops import gbuffer as gbuf_ops
+    vis2, setup2 = raster2.rasterize(
+        fm._clip_of(fm.transform_triangles(built.batch, jnp.asarray(mm),
+                                           jnp.asarray(nm))[0],
+                    g.camera.projection_view), plan.main_grid, "front",
+        False)
+    world, wnrm = fm.transform_triangles(built.batch, jnp.asarray(mm),
+                                         jnp.asarray(nm))
+    records = gbuf_ops.build_shading_records(
+        setup2, world, wnrm, built.batch.tri_uv, built.batch.static_rows)
+    gb_p, _ = gbuf_ops.resolve_gbuffer(
+        vis2, records, built.batch.atlas_packed,
+        g.camera_prev.projection_view, atlas_size=plan.atlas_size,
+        layer_stride=plan.atlas_layer_stride,
+        n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter,
+        atlas_page=built.batch.atlas_page,
+        num_materials=plan.atlas_num_materials, interpret=False)
+    gb_x, _ = gbuf_ops.resolve_gbuffer(
+        vis2, records, built.batch.atlas_packed,
+        g.camera_prev.projection_view, atlas_size=plan.atlas_size,
+        layer_stride=plan.atlas_layer_stride,
+        n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter)
+    xerr = float(jnp.abs(gb_p.albedo - gb_x.albedo).mean())
+    xmax = float(jnp.abs(gb_p.albedo - gb_x.albedo).max())
+    check("texsample-pallas-vs-xla", xerr < 0.002 and xmax < 0.06,
+          f"albedo mean err {xerr:.5f} max {xmax:.4f}")
+
+    # 6. golden frames ---------------------------------------------------
+    if not args.skip_goldens:
+        os.makedirs(GOLD_DIR, exist_ok=True)
+        CONFIGS = [
+            ("c1_helmet_min", "helmet",
+             dict(width=640, height=384, shadow_resolution=1024,
+                  enable_ssao=False, enable_bloom=False,
+                  enable_clouds=False, enable_taa=False,
+                  enable_auto_exposure=False, enable_hiz=False)),
+            ("c2_helmet_shadow_ssao", "helmet",
+             dict(width=1280, height=736, shadow_resolution=4096,
+                  enable_bloom=False, enable_clouds=False,
+                  enable_taa=False, enable_auto_exposure=False,
+                  enable_hiz=False)),
+            ("c3_sponza_full", "sponza",
+             dict(width=1280, height=736)),
+            ("c4_terrain_sky", "terrain",
+             dict(width=1920, height=1088)),
+            ("c5_full", "full",
+             dict(width=1920, height=1088)),
+        ]
+        from soc_real_time_renderer_tpu.utils.image_io import save_png
+        from PIL import Image
+        for name, scene, kw in CONFIGS:
+            b = scenes.build(scene, RenderConfig(**kw))
+            gg, mm2, nm2 = b.frame_globals(1)
+            render = fm.make_render_fn(b.plan)
+            o, _ = render(b.batch, gg, fm.RenderHistory.create(
+                b.plan.config), mm2, nm2)
+            img = np.asarray(jnp.clip(o.color, 0, 1) * 255).astype(
+                np.uint8).transpose(1, 2, 0)
+            path = os.path.join(GOLD_DIR, f"{name}.png")
+            if args.update or not os.path.exists(path):
+                save_png(path, img, already_u8=True)
+                print(f"[gold] wrote {path}", flush=True)
+                continue
+            want = np.asarray(Image.open(path).convert("RGB"))
+            d = np.abs(img.astype(np.float32) - want.astype(np.float32))
+            mean, p99 = d.mean(), np.percentile(d, 99)
+            check(f"golden-{name}", mean < 2.0 and p99 < 12.0,
+                  f"mean {mean:.3f} p99 {p99:.1f} (u8)")
+
+    print(("ALL OK" if not FAILURES else
+           f"{len(FAILURES)} FAILURES: {FAILURES}"), flush=True)
+    return 0 if not FAILURES else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

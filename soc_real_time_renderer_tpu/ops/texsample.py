@@ -341,17 +341,19 @@ def _tile_kernel(dma_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
     u0 = perpx_ref[0, 2, :][:, None]
     fu = perpx_ref[0, 3, :][:, None]
 
-    iR = jax.lax.broadcasted_iota(jnp.float32, (1, R_TOTAL), 1)
-    U = ((iR == rI0).astype(jnp.float32) * (1.0 - fv)
-         + (iR == rI0 + 1.0).astype(jnp.float32) * fv)
+    rIi = rI0.astype(jnp.int32)
+    iR = jax.lax.broadcasted_iota(jnp.int32, (1, R_TOTAL), 1)
+    U = ((iR == rIi).astype(jnp.float32) * (1.0 - fv)
+         + (iR == rIi + 1).astype(jnp.float32) * fv)
     rowsel = jax.lax.dot_general(
         U.astype(jnp.bfloat16), W, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (P, WIN_LANES)
 
-    texel = (jax.lax.broadcasted_iota(jnp.float32, (1, WIN_LANES), 1)
+    u0i = u0.astype(jnp.int32)
+    texel = (jax.lax.broadcasted_iota(jnp.int32, (1, WIN_LANES), 1)
              // CH)
-    Vw = ((texel == u0).astype(jnp.float32) * (1.0 - fu)
-          + (texel == u0 + 1.0).astype(jnp.float32) * fu)
+    Vw = ((texel == u0i).astype(jnp.float32) * (1.0 - fu)
+          + (texel == u0i + 1).astype(jnp.float32) * fu)
     tmp = (rowsel * Vw).astype(jnp.bfloat16)         # (P, WIN_LANES)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, CH), 0)

@@ -315,8 +315,12 @@ def _tile_kernel(dma_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
     slot = jax.lax.rem(t, 2)
 
     def block_dma(tile, buf_slot, b):
-        r = pl.multiple_of(dma_ref[tile, b, 0], ROW_AL)
-        c = pl.multiple_of(dma_ref[tile, b, 1], 128)
+        # dma_ref is FLAT (NT*NBLK*2,) i32: multi-dim SMEM prefetch
+        # operands get lane-padded (minor dim -> 128) and blow the
+        # 1 MB SMEM budget at 1080p tile counts
+        base = (tile * NBLK + b) * 2
+        r = pl.multiple_of(dma_ref[base], ROW_AL)
+        c = pl.multiple_of(dma_ref[base + 1], 128)
         return pltpu.make_async_copy(
             page_ref.at[pl.ds(r, WIN_R), pl.ds(c, WIN_LANES)],
             w_buf.at[buf_slot, pl.ds(b * WIN_R, WIN_R), :],
@@ -393,7 +397,7 @@ def sample_atlas_page(page_arr, dma, perpx, *, interpret: bool = False):
         grid_spec=gspec,
         out_shape=jax.ShapeDtypeStruct((NT, CH, P), jnp.float32),
         interpret=interpret,
-    )(dma, perpx, page_arr)
+    )(dma.reshape(-1), perpx, page_arr)
 
 
 # ---------------------------------------------------------------------------

@@ -218,6 +218,69 @@ def test_sky_lut_matches_exact_path():
     assert abs(approx.mean() - exact.mean()) / scale < 0.04
 
 
+def test_sky_lut_error_sweep_sun_angles():
+    """Bound the LUT-vs-exact cloud deviation over a sweep of sun
+    elevations and camera headings at the PRODUCTION LUT size
+    (VERDICT r2 item 6).  Measured magnitudes are recorded in
+    PARITY.md row T12; this test pins them so the deviation cannot
+    silently grow."""
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+    from soc_real_time_renderer_tpu.utils import mathutil as mu
+    import numpy as np
+
+    w, h = 32, 16
+    worst = 0.0
+    for sun_deg in (4.0, 30.0, 60.0):
+        for target in ([1.0, 0.2, 0.0], [0.0, 0.3, 1.0]):
+            cam = Camera3D()
+            cam.resize(2 * w, 2 * h)
+            cam.view_mat = mu.look_at(
+                np.array([0.0, 2.0, 0.0], np.float32),
+                np.asarray(target, np.float32),
+                np.array([0.0, 1.0, 0.0], np.float32))
+            g = cfg.ShaderGlobals.create(
+                camera=camera_matrices(cam, [0, 2, 0], 1, 2 * w, 2 * h),
+                sun=cfg.SunInfo.create(
+                    angle_direction_deg=(sun_deg, 0.0, 0.0)))
+            depth = jnp.ones((2 * h, 2 * w), jnp.float32)
+            exact = np.asarray(cl.render_clouds(g, depth, None, w, h))
+            lut = cl.render_sky_lut(g, lut_w=256, lut_h=128)
+            approx = np.asarray(cl.sky_from_lut(g, lut, depth, w, h))
+            scale = max(float(np.abs(exact).max()), 1e-3)
+            rel = np.abs(approx - exact).mean() / scale
+            worst = max(worst, rel)
+            assert rel < 0.10, (sun_deg, target, rel)
+    # recorded magnitude (PARITY.md T12): keep the pin tight enough
+    # that a regression of the LUT path is loud
+    assert worst < 0.10
+
+
+def test_sky_lut_dither_restores_banding_noise():
+    """The bayer-dithered LUT lookup must (a) stay within a half-LUT-
+    texel neighbourhood of the undithered lookup and (b) actually vary
+    within 4x4 pixel blocks (the banding-masking noise the reference
+    gets from its dithered march start, cloud_rendering.inl:92-113)."""
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+    import numpy as np
+
+    w, h = 64, 32
+    cam = Camera3D()
+    cam.resize(2 * w, 2 * h)
+    g = cfg.ShaderGlobals.create(
+        camera=camera_matrices(cam, [0, 2, 0], 1, 2 * w, 2 * h))
+    depth = jnp.ones((2 * h, 2 * w), jnp.float32)
+    lut = cl.render_sky_lut(g, lut_w=64, lut_h=32)
+    plain = np.asarray(cl.sky_from_lut(g, lut, depth, w, h,
+                                       dither=False))
+    dith = np.asarray(cl.sky_from_lut(g, lut, depth, w, h, dither=True))
+    scale = max(float(np.abs(plain).max()), 1e-3)
+    assert np.abs(dith - plain).mean() / scale < 0.05
+    # the dither signal exists (off-pattern would make these equal)
+    assert np.abs(dith - plain).max() > 0.0
+
+
 def test_bloom_mxu_matches_oracles():
     """The MXU separable-banded bloom == the shift-chain oracle == the
     depthwise-conv path (all three implement bloom_downsample.inl /

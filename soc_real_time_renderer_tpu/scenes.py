@@ -222,6 +222,26 @@ def build_helmet(config: RenderConfig) -> BuiltScene:
                    camera_pos=[0.0, 0.0, 2.5], camera_target=[0, 0, 0])
 
 
+def build_helmet_lifted(config: RenderConfig) -> BuiltScene:
+    """Benchmark appendix variant (VERDICT r2 item 7): the helmet
+    lifted to y=32, INSIDE the sun's ortho volume (y 24..56 around the
+    y=40 light, renderer.cpp:110-112), so the 4096² shadow raster is
+    NOT statically elidable and its cost is actually paid."""
+    scene = Scene("helmet_lifted")
+    e = scene.create_entity("damaged helmet model")
+    tc = e.add_component(TransformComponent())
+    tc.set_position([0.0, 32.0, 0.0])
+    mc = e.add_component(MeshComponent())
+    mc.model = gltf.load_model(
+        os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
+    built = _finish(scene, [mc.model], config,
+                    camera_pos=[0.0, 32.0, 2.5],
+                    camera_target=[0, 32, 0])
+    assert not built.plan.shadow_statically_empty, \
+        "lifted helmet must defeat the elision proof"
+    return built
+
+
 def build_sponza(config: RenderConfig) -> BuiltScene:
     """BASELINE config 3/5 stand-in: procedural atrium with Sponza
     textures + the DamagedHelmet, matching application.cpp:14-28's
@@ -299,6 +319,8 @@ def build_full(config: RenderConfig) -> BuiltScene:
 def build(name: str, config: RenderConfig) -> BuiltScene:
     if name == "helmet":
         return build_helmet(config)
+    if name == "helmet_lifted":
+        return build_helmet_lifted(config)
     if name == "sponza":
         return build_sponza(config)
     if name == "terrain":

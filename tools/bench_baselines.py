@@ -45,6 +45,18 @@ def main():
          "terrain", dict(width=1920, height=1088)),
         (5, "full scene (sponza+terrain+clouds+TAA+exposure), 1920x1080",
          "full", dict(width=1920, height=1088)),
+        # appendix rows (VERDICT r2 item 7): no silent fast-because-dead
+        # wins — pay the 4096² shadow raster and the 50-iter SSR march
+        (6, "APPENDIX config-2 variant, helmet INSIDE sun volume "
+            "(shadow raster actually pays)",
+         "helmet_lifted", dict(width=1280, height=736,
+                               shadow_resolution=4096,
+                               enable_bloom=False, enable_clouds=False,
+                               enable_taa=False,
+                               enable_auto_exposure=False,
+                               enable_hiz=False)),
+        (7, "APPENDIX config-3 + SSR computed (reference parity mode)",
+         "sponza", dict(width=1280, height=736, enable_ssr=True)),
     ]
 
     for num, desc, scene, kw in CONFIGS:

@@ -289,7 +289,9 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter,
         atlas_page=batch.atlas_page if use_page else None,
         num_materials=plan.atlas_num_materials,
-        tex_dirty_cap=plan.tex_dirty_cap, interpret=interp)
+        tex_dirty_cap=plan.tex_dirty_cap, interpret=interp,
+        shard=((plan.shard_mesh, plan.shard_axis)
+               if plan.shard_mesh is not None else None))
     overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole
@@ -308,19 +310,54 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
 
     # ---- SSAO + blur (T9/T10), half resolution
     ssao = None
+    sharded = plan.shard_mesh is not None and plan.shard_axis is not None
+    # SSAO row bands need halo_bot=96 rows per shard; smaller bands
+    # (tiny test screens) fall back to the XLA impl, which the SPMD
+    # partitioner shards natively
+    ssao_band_ok = (sharded and cfg.height
+                    % plan.shard_mesh.shape[plan.shard_axis] == 0
+                    and cfg.height
+                    // plan.shard_mesh.shape[plan.shard_axis] >= 96)
     if cfg.enable_ssao:
-        if cfg.ssao_impl == "pallas":
-            ssao_half = ssao_ops.ssao_generate_pallas(
-                vis.depth, gbuf.normal, g, cfg.ssao_kernel_size,
-                interpret=plan.interpret,
-                window_rows=cfg.ssao_window_rows,
-                window_lanes=cfg.ssao_window_lanes)
+        if cfg.ssao_impl == "pallas" and sharded and ssao_band_ok:
+            # production kernel under SPMD: row bands + halo exchange
+            # (parallel/halo.py); halos cover window margins + blur +
+            # upsample so each shard computes exactly the single-chip
+            # result for its band
+            from ..parallel import halo as halo_mod
+
+            def _ssao_band(imgs, row0, gg):
+                d, nrm = imgs
+                half = ssao_ops.ssao_generate_pallas(
+                    d, nrm, gg, cfg.ssao_kernel_size,
+                    interpret=plan.interpret,
+                    window_rows=cfg.ssao_window_rows,
+                    window_lanes=cfg.ssao_window_lanes,
+                    row0_half=row0 * 0.5, full_h=cfg.height)
+                blurred = ssao_ops.ssao_blur(half)
+                return sampling.upsample_bilinear(
+                    blurred, d.shape[-2], d.shape[-1])
+
+            ssao_full = halo_mod.row_band_call(
+                plan.shard_mesh, plan.shard_axis, _ssao_band,
+                (vis.depth, gbuf.normal), (g,),
+                halo_top=56, halo_bot=96, full_h=cfg.height)
+            # half-res debug target not assembled in sharded mode
         else:
-            ssao_half = ssao_ops.ssao_generate(vis.depth, gbuf.normal, g,
-                                               cfg.ssao_kernel_size)
-        ssao = ssao_ops.ssao_blur(ssao_half)
-        # composition samples the half-res target bilinearly at full res
-        ssao_full = sampling.upsample_bilinear(ssao, cfg.height, cfg.width)
+            if cfg.ssao_impl == "pallas" and not sharded:
+                ssao_half = ssao_ops.ssao_generate_pallas(
+                    vis.depth, gbuf.normal, g, cfg.ssao_kernel_size,
+                    interpret=plan.interpret,
+                    window_rows=cfg.ssao_window_rows,
+                    window_lanes=cfg.ssao_window_lanes)
+            else:
+                ssao_half = ssao_ops.ssao_generate(
+                    vis.depth, gbuf.normal, g, cfg.ssao_kernel_size)
+            ssao = ssao_ops.ssao_blur(ssao_half)
+            # composition samples the half-res target bilinearly at
+            # full res
+            ssao_full = sampling.upsample_bilinear(ssao, cfg.height,
+                                                   cfg.width)
     else:
         ssao_full = jnp.ones_like(vis.depth)
 
@@ -402,7 +439,9 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                                history.previous_color,
                                history.previous_velocity,
                                g.frame_counter, (cfg.height, cfg.width),
-                               impl=cfg.taa_impl, interpret=plan.interpret)
+                               impl=cfg.taa_impl, interpret=plan.interpret,
+                               shard=((plan.shard_mesh, plan.shard_axis)
+                                      if sharded else None))
     else:
         resolved = hdr
 

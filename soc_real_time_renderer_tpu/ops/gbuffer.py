@@ -161,7 +161,8 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     n_levels: int, filter_mode: str = "bilinear",
                     atlas_page=None, num_materials: int = 0,
                     tex_dirty_cap: int = 256,
-                    interpret: bool = False) -> tuple[GBuffer, jax.Array]:
+                    interpret: bool = False,
+                    shard=None) -> tuple[GBuffer, jax.Array]:
     """Shade the visibility buffer into the 5-target G-buffer.
 
     atlas_page: ops/texsample.AtlasPageDevice — when given (and H, W
@@ -235,14 +236,62 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
 
     tex_overflow = jnp.int32(0)
+    sharded = shard is not None and shard[0] is not None
+    if sharded and H % shard[0].shape[shard[1]] != 0:
+        atlas_page = None  # undividable rows: exact XLA gather shards natively
     if (atlas_page is not None and H % 32 == 0 and W % 32 == 0
             and filter_mode in ("bilinear", "trilinear")):
         from . import texsample
-        tex, tex_overflow = texsample.sample_atlas_tiled(
-            atlas_page, mid, uv, lod, ~miss, atlas, size=atlas_size,
-            n_levels=n_levels, num_materials=num_materials,
-            layer_stride=layer_stride, filter_mode=filter_mode,
-            dirty_cap=tex_dirty_cap, interpret=interpret, H=H, W=W)
+        if sharded:
+            # SPMD: the tile sampler shards by row bands with NO halo
+            # (32px tiles are independent; atlas page + fallback table
+            # replicated).  Band-local tiling regroups pixels into
+            # different windows than the global tiling would, but the
+            # sampled VALUE is per-pixel exact either way.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = shard
+            n = mesh.shape[axis]
+            Hb = H // n
+
+            def _band(mid_b, uv_b, lod_b, live_b, atlas_r, page_r):
+                pad = (-Hb) % 32
+                Hp = Hb + pad
+
+                def padrows(a):
+                    return jnp.pad(
+                        a, [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)])
+
+                t, ov = texsample.sample_atlas_tiled(
+                    page_r, padrows(mid_b).reshape(-1),
+                    padrows(uv_b).reshape(2, -1),
+                    padrows(lod_b).reshape(-1),
+                    padrows(live_b).reshape(-1),
+                    atlas_r, size=atlas_size, n_levels=n_levels,
+                    num_materials=num_materials,
+                    layer_stride=layer_stride, filter_mode=filter_mode,
+                    dirty_cap=tex_dirty_cap, interpret=interpret,
+                    H=Hp, W=W)
+                t = t.reshape(11, Hp, W)[:, :Hb]
+                ov = jax.lax.pmax(ov, axis)
+                return t, ov
+
+            rows2 = P(axis, None)
+            rows3 = P(None, axis, None)
+            tex, tex_overflow = shard_map(
+                _band, mesh=mesh,
+                in_specs=(rows2, rows3, rows2, rows2, P(), P()),
+                out_specs=(rows3, P()), check_rep=False)(
+                mid.reshape(H, W), uv.reshape(2, H, W),
+                lod.reshape(H, W), (~miss).reshape(H, W),
+                atlas, atlas_page)
+            tex = tex.reshape(11, H * W)
+        else:
+            tex, tex_overflow = texsample.sample_atlas_tiled(
+                atlas_page, mid, uv, lod, ~miss, atlas, size=atlas_size,
+                n_levels=n_levels, num_materials=num_materials,
+                layer_stride=layer_stride, filter_mode=filter_mode,
+                dirty_cap=tex_dirty_cap, interpret=interpret, H=H, W=W)
     else:
         tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
                                   layer_stride=layer_stride,

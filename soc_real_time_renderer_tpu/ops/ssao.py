@@ -66,7 +66,8 @@ def _noise(u, v, freq):
     return x1 + (x2 - x1) * xv
 
 
-def _preamble(depth, normal, g, dense_resample: bool = False):
+def _preamble(depth, normal, g, dense_resample: bool = False,
+              row0_half=None, full_h: int | None = None):
     """Shared per-half-res-pixel setup (ssao_generation.inl:174-192):
     view-space fragment position + procedural-noise TBN.
 
@@ -75,6 +76,13 @@ def _preamble(depth, normal, g, dense_resample: bool = False):
     bilinear sample_screen.  Only safe when the consumer materializes
     its inputs (the Pallas tail); inside the fused XLA tail the pooled
     operand gets recomputed per tap (-144 ms regression, PERF.md).
+
+    row0_half / full_h: multi-chip row-band support (SPMD shard_map,
+    parallel/halo.py): `depth` is a halo-padded row band whose first
+    row is GLOBAL half-res row `row0_half` of a `full_h`-row screen.
+    The uv grid (view reconstruction + noise pattern) must use global
+    coordinates so each shard computes exactly what the single-chip
+    kernel computes.
     """
     from . import sampling
     from .composition import view_from_depth
@@ -82,6 +90,16 @@ def _preamble(depth, normal, g, dense_resample: bool = False):
     H, W = depth.shape
     h, w = H // 2, W // 2
     uv = sampling.grid_uv(h, w)                          # (2, h, w)
+    if row0_half is not None:
+        hh = full_h // 2
+        vglob = ((jnp.arange(h, dtype=jnp.float32) + 0.5
+                  + row0_half.astype(jnp.float32)) / hh)
+        # halo rows outside the screen (edge shards) take the edge
+        # row's uv: their depth is edge-replicated by parallel/halo.py,
+        # so clamping v too reproduces the single-chip screen-edge
+        # clamp EXACTLY (same frag_pos at every clamped tap)
+        vglob = jnp.clip(vglob, 0.5 / hh, (hh - 0.5) / hh)
+        uv = jnp.stack([uv[0], jnp.broadcast_to(vglob[:, None], (h, w))])
 
     if dense_resample:
         import jax
@@ -225,7 +243,7 @@ def ssao_blur(ssao):
 
 def _ssao_kernel(params_ref, kern_ref, planes_ref, vz_ref, out_ref,
                  win, winhl, sem, *, K, WR, WL, MY, MX, hp, wp, w_true,
-                 h_true):
+                 h_true, h_glob):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -245,8 +263,9 @@ def _ssao_kernel(params_ref, kern_ref, planes_ref, vz_ref, out_ref,
     planes = planes_ref[:]                      # (12, 8, 128) f32
     frag = planes[0:3]
     Av, Bv, Cv = planes[3:6], planes[6:9], planes[9:12]
-    p = [params_ref[i] for i in range(14)]
+    p = [params_ref[i] for i in range(15)]
     radius, bias = p[12], p[13]
+    row0 = p[14]  # global half-res row of this band's first row (SPMD)
 
     iL = jax.lax.broadcasted_iota(jnp.int32, (WL, 128), 0)
     iR = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
@@ -272,8 +291,12 @@ def _ssao_kernel(params_ref, kern_ref, planes_ref, vz_ref, out_ref,
         # bias; at half res that bias would be a full-res texel)
         xi = jnp.clip(jnp.floor(ou * w_true).astype(jnp.int32), 0,
                       w_true - 1)
-        yi = jnp.clip(jnp.floor(ov * h_true).astype(jnp.int32), 0,
-                      h_true - 1)
+        # ov is GLOBAL screen uv: texel vs the full screen, then into
+        # band-local rows (row0 = 0 single-chip); the clamp to the
+        # band edge reproduces the screen-edge clamp since halos cover
+        # the window margins (parallel/halo.py)
+        yi = jnp.clip(jnp.floor(ov * h_glob).astype(jnp.int32)
+                      - row0.astype(jnp.int32), 0, h_true - 1)
         wx = jnp.clip(xi - ox, 0, WL - 1)       # (8, 128)
         wy = jnp.clip(yi - oy, 0, WR - 1)
 
@@ -302,8 +325,13 @@ def _ssao_kernel(params_ref, kern_ref, planes_ref, vz_ref, out_ref,
 
 def ssao_generate_pallas(depth, normal, g, kernel_size: int = 26,
                          interpret: bool | None = None,
-                         window_rows: int = 64, window_lanes: int = 384):
-    """Pallas windowed SSAO — same contract as :func:`ssao_generate`."""
+                         window_rows: int = 64, window_lanes: int = 384,
+                         row0_half=None, full_h: int | None = None):
+    """Pallas windowed SSAO — same contract as :func:`ssao_generate`.
+
+    row0_half / full_h: row-band mode for SPMD sharding — `depth` is a
+    halo-padded band starting at global half-res row `row0_half` of a
+    `full_h`-row screen (see parallel/halo.py)."""
     import functools
 
     import jax
@@ -319,10 +347,12 @@ def ssao_generate_pallas(depth, normal, g, kernel_size: int = 26,
         # bilinear half-res taps only for even dimensions (ADVICE round
         # 2); all shipped configs pad to even — fall back to the exact
         # gather path rather than silently deviating.
+        assert row0_half is None, "row-band mode requires even bands"
         return ssao_generate(depth, normal, g, kernel_size)
     h, w = H // 2, W // 2
     frag_pos, tangent, bitangent, normal_v = _preamble(
-        depth, normal, g, dense_resample=True)
+        depth, normal, g, dense_resample=True,
+        row0_half=row0_half, full_h=full_h)
 
     # the gather table IS frag_pos.z: per-texel half-res view z
     viewz = frag_pos[2]
@@ -341,14 +371,17 @@ def ssao_generate_pallas(depth, normal, g, kernel_size: int = 26,
     viewz = jnp.pad(viewz, ((0, hp - h), (0, wp - w)))
 
     proj = g.camera.projection
+    row0 = (jnp.float32(0.0) if row0_half is None
+            else row0_half.astype(jnp.float32))
+    h_glob = h if full_h is None else full_h // 2
     params = jnp.concatenate([
         proj[0], proj[1], proj[3],
-        jnp.stack([g.ssao_radius, g.ssao_bias])]).astype(jnp.float32)
+        jnp.stack([g.ssao_radius, g.ssao_bias, row0])]).astype(jnp.float32)
     kern = KERNEL[:kernel_size]
 
     kernel = functools.partial(
         _ssao_kernel, K=kernel_size, WR=WR, WL=WL, MY=MY, MX=MX, hp=hp,
-        wp=wp, w_true=w, h_true=h)
+        wp=wp, w_true=w, h_true=h, h_glob=h_glob)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

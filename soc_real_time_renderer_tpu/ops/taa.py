@@ -28,13 +28,18 @@ GAUSS = [1 / 16, 1 / 8, 1 / 16,
 
 
 def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
-        resolution_hw, impl: str = "xla", interpret: bool | None = None):
+        resolution_hw, impl: str = "xla", interpret: bool | None = None,
+        shard=None):
     """color/prev_color: (3, H, W); depth: (H, W); velocity/prev_velocity:
     (2, H, W); frame_counter: () int32.  Returns resolved (3, H, W).
 
     impl="pallas" uses the windowed VMEM reprojection kernel
     (ops/taa_pallas.py, ~6x cheaper history fetch; taps beyond the
-    window margins take the reference's off-screen path)."""
+    window margins take the reference's off-screen path).
+
+    shard=(mesh, axis): run the Pallas reprojection under SPMD as row
+    bands with halo exchange (parallel/halo.py); the surrounding 3x3
+    shift/AABB math stays global-view XLA (it shards natively)."""
     H, W = depth.shape
     uv = sampling.grid_uv(H, W)                    # (2, H, W)
 
@@ -80,10 +85,29 @@ def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
     # one packed history fetch: prev_color (3) + prev_velocity (2)
     packed = jnp.concatenate([prev_color, prev_velocity], axis=0)
     oow = None
+    sharded = shard is not None and shard[0] is not None
+    if sharded and (H % shard[0].shape[shard[1]] != 0
+                    or H // shard[0].shape[shard[1]] < 32):
+        # bands too small for the 32-row halos: the XLA reprojection
+        # shards natively instead
+        impl = "xla"
     if impl == "pallas":
         from . import taa_pallas
-        hist, oow = taa_pallas.reproject_history_pallas(
-            packed, velocity_s, interpret=interpret)
+        if sharded:
+            from ..parallel import halo as halo_mod
+            mesh, axis = shard
+
+            def _band(imgs, row0):
+                pk, vs = imgs
+                return taa_pallas.reproject_history_pallas(
+                    pk, vs, interpret=interpret, row0=row0, full_h=H)
+
+            hist, oow = halo_mod.row_band_call(
+                mesh, axis, _band, (packed, velocity_s), (),
+                halo_top=32, halo_bot=32, full_h=H)
+        else:
+            hist, oow = taa_pallas.reproject_history_pallas(
+                packed, velocity_s, interpret=interpret)
         accum = jnp.where(oow > 0.5, 1.0, accum)
     else:
         hist = sampling.sample_screen(packed,

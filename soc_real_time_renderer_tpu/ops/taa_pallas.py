@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _taa_kernel(vel_ref, hist_ref, out_ref, oow_ref, win, sem, *,
-                C, WR, WL, MY, MX, Hp, Wp, H, W):
+def _taa_kernel(params_ref, vel_ref, hist_ref, out_ref, oow_ref, win,
+                sem, *, C, WR, WL, MY, MX, Hp, Wp, H, W, h_glob):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -41,23 +41,31 @@ def _taa_kernel(vel_ref, hist_ref, out_ref, oow_ref, win, sem, *,
         hist_ref.at[:, pl.ds(oy, WR), pl.ds(ox, WL)], win, sem)
     dma.start()
 
+    # row0 = global row of the band's first row (0 single-chip; SPMD
+    # row bands pass their offset so uv/velocity scale by the FULL
+    # screen height, parallel/halo.py)
+    row0 = params_ref[0]
     iy = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
           + ty * 8)
     ix = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
           + tx * 128)
     u = (ix.astype(jnp.float32) + 0.5) / W - vel_ref[0]
-    v = (iy.astype(jnp.float32) + 0.5) / H - vel_ref[1]
+    v = (iy.astype(jnp.float32) + row0 + 0.5) / h_glob - vel_ref[1]
     # sample_screen convention: x = u*W - 0.5, clamp-to-edge corners
+    # (screen-edge clamp uses GLOBAL rows, then shifts into the band)
     x = u * W - 0.5
-    y = v * H - 0.5
+    y = v * h_glob - 0.5 - row0
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = x - x0f
     fy = y - y0f
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
     x1 = jnp.clip(x0 + 1, 0, W - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    # screen-edge clamp in band-local coords ([-row0, h_glob-1-row0];
+    # row0 = 0 single-chip makes this exactly clip(., 0, H-1))
+    r0i = row0.astype(jnp.int32)
+    y0 = jnp.clip(y0f.astype(jnp.int32), -r0i, h_glob - 1 - r0i)
+    y1 = jnp.clip(y0 + 1, -r0i, h_glob - 1 - r0i)
 
     # out-of-window: any corner outside the DMA'd window
     oow = ((x0 < ox) | (x1 > ox + WL - 1)
@@ -93,12 +101,17 @@ def _taa_kernel(vel_ref, hist_ref, out_ref, oow_ref, win, sem, *,
 
 def reproject_history_pallas(history, velocity, *, window_rows: int = 56,
                              window_lanes: int = 384,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             row0=None, full_h: int | None = None):
     """Bilinear-sample packed history (C, H, W) bf16 at uv - velocity.
 
     velocity: (2, H, W) f32.  Returns (hist (C, H, W) f32,
     oow (H, W) f32 — 1.0 where the tap left the VMEM window and the
     caller must take the off-screen path).
+
+    row0 / full_h: SPMD row-band mode (parallel/halo.py) — `history`
+    is a halo-padded band whose first row is global row `row0` of a
+    `full_h`-row screen; velocity stays in full-screen uv units.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -106,6 +119,9 @@ def reproject_history_pallas(history, velocity, *, window_rows: int = 56,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     C, H, W = history.shape
+    h_glob = H if full_h is None else full_h
+    params = jnp.stack([jnp.float32(0.0) if row0 is None
+                        else row0.astype(jnp.float32)])
     hp = -(-H // 8) * 8
     wp = -(-W // 128) * 128
     WL = min(window_lanes, wp)
@@ -119,11 +135,13 @@ def reproject_history_pallas(history, velocity, *, window_rows: int = 56,
                   ((0, 0), (0, hp - H), (0, wp - W)))
 
     kernel = functools.partial(_taa_kernel, C=C, WR=WR, WL=WL, MY=MY,
-                               MX=MX, Hp=hp, Wp=wp, H=H, W=W)
+                               MX=MX, Hp=hp, Wp=wp, H=H, W=W,
+                               h_glob=h_glob)
     out, oow = pl.pallas_call(
         kernel,
         grid=(hp // 8, wp // 128),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1,)
             pl.BlockSpec((2, 8, 128), lambda ty, tx: (0, ty, tx)),
             pl.BlockSpec(memory_space=pl.ANY),      # history (HBM)
         ],
@@ -140,5 +158,5 @@ def reproject_history_pallas(history, velocity, *, window_rows: int = 56,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(vel, hist)
+    )(params, vel, hist)
     return out[:, :H, :W], oow[:H, :W]

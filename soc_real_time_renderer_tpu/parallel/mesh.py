@@ -50,8 +50,7 @@ def make_batched_render_fn(plan: frame_mod.FramePlan, mesh: Mesh,
     over devices rather than replicating and slicing at the end.
     """
     import dataclasses
-    plan = dataclasses.replace(plan, shard_mesh=mesh, shard_axis=row_axis,
-                               texture_impl="xla")
+    plan = dataclasses.replace(plan, shard_mesh=mesh, shard_axis=row_axis)
 
     def step(batch, globals_batch, history_batch, model_mats, normal_mats):
         def one(g, hist):
@@ -79,7 +78,7 @@ def make_sharded_shade_fn(plan: frame_mod.FramePlan, mesh: Mesh,
     """
     import dataclasses
     plan = dataclasses.replace(plan, shard_mesh=mesh, shard_axis=row_axis,
-                               interpret=None, texture_impl="xla")
+                               interpret=None)
 
     def shade(batch, g, history, vis, records, shadow_map, overflow):
         out, h2 = frame_mod.shade_stage(plan, batch, g, history, vis,

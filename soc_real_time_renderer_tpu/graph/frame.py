@@ -89,7 +89,7 @@ class FramePlan:
     # dirty-tile fallback; "xla" = exact global gather only.
     texture_impl: str = "pallas"
     atlas_num_materials: int = 1
-    tex_dirty_cap: int = 256     # fallback tiles before OVERFLOW_TEX_DIRTY
+    tex_dirty_cap: int = 768     # fallback tiles before OVERFLOW_TEX_DIRTY
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so

@@ -160,7 +160,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     prev_view_proj, *, atlas_size: int, layer_stride: int,
                     n_levels: int, filter_mode: str = "bilinear",
                     atlas_page=None, num_materials: int = 0,
-                    tex_dirty_cap: int = 256,
+                    tex_dirty_cap: int = 768,
                     interpret: bool = False,
                     shard=None) -> tuple[GBuffer, jax.Array]:
     """Shade the visibility buffer into the 5-target G-buffer.
@@ -239,7 +239,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     sharded = shard is not None and shard[0] is not None
     if sharded and H % shard[0].shape[shard[1]] != 0:
         atlas_page = None  # undividable rows: exact XLA gather shards natively
-    if (atlas_page is not None and H % 32 == 0 and W % 32 == 0
+    if (atlas_page is not None and H % 16 == 0 and W % 16 == 0
             and filter_mode in ("bilinear", "trilinear")):
         from . import texsample
         if sharded:
@@ -255,7 +255,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
             Hb = H // n
 
             def _band(mid_b, uv_b, lod_b, live_b, atlas_r, page_r):
-                pad = (-Hb) % 32
+                pad = (-Hb) % 16
                 Hp = Hb + pad
 
                 def padrows(a):

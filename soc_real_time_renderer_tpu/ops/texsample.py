@@ -7,52 +7,55 @@ through hardware samplers with full mip chains and linear filtering
 ``g_buffer_generation.inl:186-224``); the XLA equivalent is a random
 HBM gather that is LATENCY-bound at ~22-30 ns/index over the 470 MB
 expanded atlas (PERF.md round-2 cost curve) — the single largest cost
-of the frame at 1080p (VERDICT round-2 item 1).
+of the frame at 1080p (VERDICT r2 item 1).
 
 This module exploits what a hardware texture cache exploits: screen
-locality.  Within a 32x32 pixel tile, the taps of one material at one
+locality.  Within a 16x16 pixel tile, the taps of one material at one
 mip level land in a small texel neighbourhood (mipmapping exists
 precisely to make texel:pixel density ~1).  So:
 
-PHASE 1 (XLA, `_plan_tiles_impl`): per 32x32 screen tile
-  * histogram the (material, level) pairs of its pixels,
-  * keep the top NBLK=4 pairs as "blocks",
-  * window each block by the texel bbox of its pixels,
-  * emit per-pixel in-window coordinates + a block-row index,
-  * tiles with more pairs, or windows over 64 texels (disjoint
-    surfaces sharing a material), are DIRTY: their pixels are resolved
-    by the exact XLA gather on a tile-compacted fallback list, so the
-    fallback gather cost is proportional to dirty pixels.
+PHASE 1 (XLA, `_plan_tiles_impl`): per 16x16 screen tile
+  * histogram the (material, level) pairs of its pixels and keep the
+    top K_TOP=6 pairs,
+  * window each pair by the texel bbox of its pixels; pairs whose bbox
+    exceeds 31 texels (disjoint surfaces — e.g. two columns sharing a
+    material) are SPLIT by a depth-2 median quadtree into up to 4
+    sub-windows (measured on the full 1080p scene: splitting drops the
+    uncovered-tile rate from 50% to ~4%),
+  * pack the resulting windows into NBLK=8 slots,
+  * emit per-pixel in-window coordinates + a slot row index,
+  * tiles needing more slots fall back: their pixels are resolved by
+    the exact XLA gather on a tile-compacted list, so fallback cost is
+    proportional to uncovered pixels.
 
 PHASE 2 (Pallas, `_tile_kernel`): per tile
-  * DMA the <=4 (80 rows x 96 texels x 12 lanes) bf16 windows from the
-    atlas *page* (build_atlas_page) into one (320, 1152) VMEM stack W
-    (double-buffered across grid steps),
+  * DMA the used (48 rows x 64 texels x 12 lanes) bf16 windows from
+    the atlas *page* (build_atlas_page) into one (384, 768) VMEM stack
+    W (double-buffered across grid steps; unused slots skip their DMA),
   * bilinear tap = soft-one-hot ROW matmul on the MXU:
-        U (P=1024, 320) bf16 @ W (320, 1152) bf16  ->  rowsel
-    where U carries the two v-weighted rows of each pixel's block.
-    Pixels of different blocks coexist in one matmul: a pixel's U
-    selects only its block's rows, so its column coordinates are
-    interpreted within that block — no cross terms,
-  * column select: rowsel * u-weight mask, then a (1152 -> 12)
+        U (P=256, 384) bf16 @ W (384, 768) bf16  ->  rowsel
+    where U carries the two v-weighted rows of each pixel's slot.
+    Pixels of different slots coexist in one matmul: a pixel's U
+    selects only its slot's rows, so its column coordinates are
+    interpreted within that slot — no cross terms,
+  * column select: rowsel * u-weight mask, then a (768 -> 12)
     channel-selector matmul -> (12, P) channels.
 
 The page stores RAW u8 byte values as bf16 (integers <= 255 are exact
 in bf16), so the kernel's bilinear arithmetic matches the XLA path to
 bf16 blend rounding (~0.5 u8 lsb); sRGB decode stays in f32 downstream
 exactly as before.  Wrap (GL_REPEAT) is handled by the page apron:
-every (material, level) region carries +80/+96 wrapped texels, and
-levels <= 64 texels use origin 0 with pre-wrapped per-pixel coords, so
+every (material, level) region carries wrapped margin texels, and
+levels <= 32 texels use origin 0 with pre-wrapped per-pixel coords, so
 windows never wrap in-kernel.
 
-Cost model (v5e): U-matmul = 1024*320*1152 bf16 MACs = 378M per tile,
-2040 tiles at 1920x1088 -> 0.77 Tmac ~ 4-8 ms — well under the 50 ms
-gather it replaces, and a second mip tap (trilinear) only doubles the
-matmul instead of doubling a 50 ms gather.
+Cost model (v5e): U-matmul = 256*384*768 bf16 MACs = 75M per tile,
+8160 tiles at 1920x1088 -> 0.62 Tmac ~ 6 ms — ~8x under the XLA gather
+it replaces, and a second mip tap (trilinear) doubles the matmul
+instead of doubling a 50 ms gather.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from dataclasses import dataclass
 
@@ -61,18 +64,25 @@ import jax.numpy as jnp
 import numpy as np
 
 # tile / window geometry (all static)
-TH = 32          # tile height (px)
-TW = 32          # tile width (px)
+TH = 16          # tile height (px)
+TW = 16          # tile width (px)
 P = TH * TW      # pixels per tile
-NBLK = 4         # (material, level) blocks per tile
-WIN_R = 80       # window rows (64 bbox + 16 row-align slack)
-WIN_C = 96       # window cols in texels (64 bbox + 32 col-align slack)
+K_TOP = 6        # (material, level) pairs considered per tile
+NBLK = 8         # window slots per tile
+WIN_R = 48       # window rows (32 bbox + 16 row-align slack)
+WIN_C = 64       # window cols in texels (32 bbox + 32 col-align slack)
 CH = 12          # bf16 lanes per texel in the page (11 channels + pad)
-WIN_LANES = WIN_C * CH          # 1152
-R_TOTAL = NBLK * WIN_R          # 320
-BBOX_MAX = 63    # max (max - min) texel extent of a block's uv bbox
+WIN_LANES = WIN_C * CH          # 768
+R_TOTAL = NBLK * WIN_R          # 384
+BBOX_MAX = 31    # max (max - min) texel extent of one window's pixels
+SMALL_S = 32     # levels <= SMALL_S texels live fully resident (wrap
+#                  by mod coords); levels >= 64 are windowed
 ROW_AL = 16      # bf16 sublane alignment for window row offsets
 COL_AL = 32      # texel col alignment (32 * 12 lanes = 3 * 128)
+# page aprons (build_atlas_page): must cover a window placed at
+# origin <= s-COL_AL/..., i.e. >= WIN_R rows / WIN_C cols
+AP_R = 80
+AP_C = 96
 
 OVERFLOW_TEX_DIRTY = 8  # FrameOutputs.overflow bit: dirty tiles > cap
 
@@ -81,8 +91,8 @@ OVERFLOW_TEX_DIRTY = 8  # FrameOutputs.overflow bit: dirty tiles > cap
 class AtlasPage:
     """Host-built bf16 page of all (material, level) wrap-padded images.
 
-    Region for (mat, level): rows [row0, row0 + s + WIN_R), cols
-    [col0, col0 + (s + WIN_C) * CH) holding raw u8 values as bf16,
+    Region for (mat, level): rows [row0, row0 + s + AP_R), cols
+    [col0, col0 + (s + AP_C) * CH) holding raw u8 values as bf16,
     channel-interleaved per texel (texture.SAMPLED_ROWS order, lane 11
     pad).  Texel (y, x) of a region stores image[y % s, x % s].
     """
@@ -122,7 +132,7 @@ def build_atlas_page(atlas) -> AtlasPage:
         level_off.append(off)
         off += (size >> k) * (size >> k)
 
-    page_cols = -(-((size + WIN_C) * CH) // 128) * 128
+    page_cols = -(-((size + AP_C) * CH) // 128) * 128
 
     # assign (row0, col0): side-by-side packing of small levels
     row0 = np.zeros((M, n_levels), np.int32)
@@ -133,8 +143,8 @@ def build_atlas_page(atlas) -> AtlasPage:
         row_height = 0
         for lv in range(n_levels):
             s = size >> lv
-            need_c = -(-((s + WIN_C) * CH) // 128) * 128
-            need_r = -(-(s + WIN_R) // ROW_AL) * ROW_AL
+            need_c = -(-((s + AP_C) * CH) // 128) * 128
+            need_r = -(-(s + AP_R) // ROW_AL) * ROW_AL
             if cur_col + need_c > page_cols:
                 cur_row += row_height
                 cur_col = 0
@@ -159,21 +169,21 @@ def build_atlas_page(atlas) -> AtlasPage:
             s = size >> lv
             base = m * stride + level_off[lv]
             img = chans[:, base:base + s * s].reshape(11, s, s)
-            ys = np.arange(s + WIN_R) % s
-            xs = np.arange(s + WIN_C) % s
-            wrapped = img[:, ys][:, :, xs]       # (11, s+WIN_R, s+WIN_C)
-            block = np.zeros((s + WIN_R, (s + WIN_C) * CH), np.float32)
+            ys = np.arange(s + AP_R) % s
+            xs = np.arange(s + AP_C) % s
+            wrapped = img[:, ys][:, :, xs]       # (11, s+AP_R, s+AP_C)
+            block = np.zeros((s + AP_R, (s + AP_C) * CH), np.float32)
             for c in range(11):
                 block[:, c::CH] = wrapped[c]
             r, co = int(row0[m, lv]), int(col0[m, lv])
-            page[r:r + s + WIN_R, co:co + block.shape[1]] = \
+            page[r:r + s + AP_R, co:co + block.shape[1]] = \
                 block.astype(bf16)
     return AtlasPage(page=page, row0=row0, col0=col0, size=size,
                      n_levels=n_levels, num_materials=M)
 
 
 # ---------------------------------------------------------------------------
-# Phase 1: per-tile block planning (XLA)
+# Phase 1: per-tile window planning (XLA)
 # ---------------------------------------------------------------------------
 
 
@@ -191,18 +201,29 @@ def _untileize(x, H, W):
             .transpose(2, 0, 3, 1, 4).reshape(C, H, W))
 
 
+def _masked_bbox(m, x0, y0):
+    """m: (NT, K, P) bool; x0/y0: (NT, P) -> min/max per (NT, K)."""
+    big = jnp.int32(1 << 24)
+    xmn = jnp.min(jnp.where(m, x0[:, None, :], big), axis=2)
+    ymn = jnp.min(jnp.where(m, y0[:, None, :], big), axis=2)
+    xmx = jnp.max(jnp.where(m, x0[:, None, :], -big), axis=2)
+    ymx = jnp.max(jnp.where(m, y0[:, None, :], -big), axis=2)
+    return xmn, ymn, xmx, ymx
+
+
 def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
                      size: int, n_levels: int, num_materials: int):
-    """Per-tile planning on tiled (NT, P) arrays.
+    """Per-tile window planning on tiled (NT, P) arrays.
 
-    level_t: (NT, P) int32 mip level of each pixel (the filter mode's
-    level choice — round(lod) for nearest-mip bilinear, floor / floor+1
-    for the two trilinear passes).
+    level_t: (NT, P) int32 mip level per pixel (round(lod) for
+    nearest-mip bilinear; floor / floor+1 for the trilinear passes).
 
     Returns (perpx (NT, 4, P) f32 [row_idx0, fv, u0, fu],
-    dma (NT, NBLK, 2) i32 window origins, dirty (NT,) bool).
+    dma (NT, NBLK, 2) i32 window origins,
+    used (NT,) i32 slot count, dirty (NT,) bool).
     """
     M, L = num_materials, n_levels
+    NT = mid_t.shape[0]
 
     combo = mid_t * L + level_t                       # (NT, P)
     combo = jnp.where(live_t, combo, -1)
@@ -210,9 +231,8 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     s_of_level = jnp.right_shift(
         jnp.int32(size), jnp.arange(L, dtype=jnp.int32))
     s_t = s_of_level[jnp.clip(level_t, 0, L - 1)].astype(jnp.float32)
-    # texel-space coords: same math as sample_packed_atlas but on
-    # UNWRAPPED uv (frac-vs-unwrapped differ by k*s, absorbed by the
-    # mod-s page origin; fu/fv identical)
+    # texel coords (unwrapped): same math as sample_packed_atlas; the
+    # mod-s page origin absorbs the frac-vs-unwrapped difference
     xf = u_t * s_t - 0.5
     yf = v_t * s_t - 0.5
     x0f = jnp.floor(xf)
@@ -222,82 +242,170 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    # --- top-NBLK combos per tile by pixel count
+    # --- top-K_TOP combos per tile by pixel count
     cids = jnp.arange(M * L, dtype=jnp.int32)
     counts = jnp.sum(
         (combo[:, None, :] == cids[None, :, None]).astype(jnp.int32),
         axis=2)                                       # (NT, M*L)
     top_combo = []
     cts = counts
-    for _ in range(NBLK):
+    for _ in range(K_TOP):
         best = jnp.argmax(cts, axis=1).astype(jnp.int32)     # (NT,)
         top_combo.append(best)
         cts = cts * (1 - (cids[None, :] == best[:, None]))
-    top_combo = jnp.stack(top_combo, axis=1)          # (NT, NBLK)
+    top_combo = jnp.stack(top_combo, axis=1)          # (NT, K_TOP)
 
-    # per-pixel block assignment (-1 = live but not in top-NBLK)
-    is_blk = combo[:, None, :] == top_combo[:, :, None]   # (NT, NBLK, P)
-    in_any = jnp.any(is_blk, axis=1)
-    blk_of_px = jnp.where(in_any & live_t,
-                          jnp.argmax(is_blk, axis=1).astype(jnp.int32),
-                          jnp.where(live_t, -1, -2))
+    is_c = combo[:, None, :] == top_combo[:, :, None]   # (NT, K, P)
+    in_any = jnp.any(is_c, axis=1)
+    crank = jnp.where(in_any & live_t,
+                      jnp.argmax(is_c, axis=1).astype(jnp.int32),
+                      jnp.where(live_t, -1, -2))      # (NT, P)
 
-    # --- per-(tile, block) texel bbox over member pixels
-    big = jnp.int32(1 << 24)
-    x_min = jnp.min(jnp.where(is_blk, x0[:, None, :], big), axis=2)
-    y_min = jnp.min(jnp.where(is_blk, y0[:, None, :], big), axis=2)
-    x_max = jnp.max(jnp.where(is_blk, x0[:, None, :], -big), axis=2)
-    y_max = jnp.max(jnp.where(is_blk, y0[:, None, :], -big), axis=2)
-    has_px = jnp.any(is_blk, axis=2)
+    blk_level = top_combo % L                         # (NT, K)
+    blk_mat = jnp.clip(top_combo // L, 0, M - 1)
+    s_blk = s_of_level[blk_level]
+    small = s_blk <= SMALL_S                          # fully resident
 
-    blk_level = top_combo % L                         # (NT, NBLK)
-    blk_mat = jnp.clip(top_combo // L, 0, num_materials - 1)
-    s_blk = s_of_level[blk_level]                     # (NT, NBLK)
+    # --- depth-2 quadtree split of each combo's bbox
+    # level 0: whole combo
+    xmn0, ymn0, xmx0, ymx0 = _masked_bbox(is_c, x0, y0)
+    has0 = jnp.any(is_c, axis=2)
+    fit0 = ((xmx0 - xmn0 <= BBOX_MAX) & (ymx0 - ymn0 <= BBOX_MAX)
+            ) | small | ~has0
+    ax0 = (xmx0 - xmn0) >= (ymx0 - ymn0)              # split axis: True=u
+    t0 = jnp.where(ax0, (xmx0 + xmn0) // 2, (ymx0 + ymn0) // 2)
+    # half membership per pixel (below threshold = half A)
+    px_half = jnp.where(ax0[:, :, None], x0[:, None, :],
+                        y0[:, None, :]) <= t0[:, :, None]   # (NT, K, P)
+    mA = is_c & px_half
+    mB = is_c & ~px_half
+    # level 1: halves
+    outs = []
+    for mH in (mA, mB):
+        xmn, ymn, xmx, ymx = _masked_bbox(mH, x0, y0)
+        has = jnp.any(mH, axis=2)
+        fit = ((xmx - xmn <= BBOX_MAX) & (ymx - ymn <= BBOX_MAX)) | ~has
+        ax = (xmx - xmn) >= (ymx - ymn)
+        t = jnp.where(ax, (xmx + xmn) // 2, (ymx + ymn) // 2)
+        qh = jnp.where(ax[:, :, None], x0[:, None, :],
+                       y0[:, None, :]) <= t[:, :, None]
+        mQ0 = mH & qh
+        mQ1 = mH & ~qh
+        outs.append((mH, has, fit, mQ0, mQ1))
 
-    small = s_blk <= 64
-    ox = jnp.where(small | ~has_px, 0, (x_min // COL_AL) * COL_AL)
-    oy = jnp.where(small | ~has_px, 0, (y_min // ROW_AL) * ROW_AL)
-    fits = ((x_max - x_min <= BBOX_MAX)
-            & (y_max - y_min <= BBOX_MAX)) | small | ~has_px
+    # window candidates per combo, in canonical order:
+    #   unsplit -> [whole]
+    #   split   -> per half: fits -> [half]; else -> [q0, q1]
+    # realized as 4 candidate masks with used flags
+    (mA_, hasA, fitA, mA0, mA1) = outs[0]
+    (mB_, hasB, fitB, mB0, mB1) = outs[1]
+    split0 = ~fit0                 # False for small / fitting combos
+    s3 = split0[:, :, None]
+    # candidate 0: whole (unsplit) or half A (if it fits) or quarter A0
+    c0_mask = jnp.where(s3, jnp.where(fitA[:, :, None], mA_, mA0), is_c)
+    # candidate 1: half A's second quarter (split & A doesn't fit)
+    c1_mask = mA1 & s3 & ~fitA[:, :, None]
+    # candidate 2: half B (if it fits) or quarter B0 (split only)
+    c2_mask = jnp.where(fitB[:, :, None], mB_, mB0) & s3
+    # candidate 3: half B's second quarter
+    c3_mask = mB1 & s3 & ~fitB[:, :, None]
+    cand_masks = [c0_mask, c1_mask, c2_mask, c3_mask]
+    cand_used = [jnp.any(cm, axis=2) for cm in cand_masks]
 
-    r0 = row0[blk_mat, blk_level]                     # (NT, NBLK)
-    c0 = col0[blk_mat, blk_level]
-    dma_r = r0 + jnp.remainder(oy, s_blk)
-    dma_c = c0 + jnp.remainder(ox, s_blk) * CH
-    dma = jnp.stack([dma_r, dma_c], axis=2).astype(jnp.int32)
+    # a combo is cleanly coverable iff every used candidate's bbox fits
+    # (small levels are always coverable at origin 0)
+    cand_fit = []
+    cand_bbox = []
+    for cm in cand_masks:
+        xmn, ymn, xmx, ymx = _masked_bbox(cm, x0, y0)
+        cand_bbox.append((xmn, ymn))
+        cand_fit.append(((xmx - xmn <= BBOX_MAX)
+                         & (ymx - ymn <= BBOX_MAX)))
+    used_kc = jnp.stack(cand_used, axis=2)            # (NT, K, 4)
+    fit_kc = jnp.stack(cand_fit, axis=2)
+    combo_ok = jnp.all(fit_kc | ~used_kc, axis=2) | small
 
-    # --- per-pixel in-window coords (one-hot pick over NBLK=4)
-    sel_b = (blk_of_px[:, None, :]
-             == jnp.arange(NBLK, dtype=jnp.int32)[None, :, None])
+    # --- slot assignment: flatten (K, 4) candidates, prefix-sum used
+    used_flat = used_kc.reshape(NT, K_TOP * 4)
+    slot_of = (jnp.cumsum(used_flat.astype(jnp.int32), axis=1)
+               - used_flat.astype(jnp.int32))         # exclusive prefix
+    n_used = jnp.sum(used_flat.astype(jnp.int32), axis=1)
 
-    def pick(a):  # (NT, NBLK) -> (NT, P)
-        return jnp.sum(a[:, :, None] * sel_b.astype(a.dtype), axis=1)
+    # tile dirty: any live pixel outside top-K combos, any used combo
+    # not cleanly coverable, or more windows than slots
+    dirty = (jnp.any(crank == -1, axis=1)
+             | jnp.any(has0 & ~combo_ok, axis=1)
+             | (n_used > NBLK))
 
-    ox_px = pick(ox)
-    oy_px = pick(oy)
-    s_px = pick(s_blk)
-    s_safe = jnp.maximum(s_px, 1)
-    small_px = s_px <= 64
-    u_in = jnp.where(small_px, jnp.remainder(x0, s_safe), x0 - ox_px)
-    v_in = jnp.where(small_px, jnp.remainder(y0, s_safe), y0 - oy_px)
-    covered = (blk_of_px >= 0) & (u_in >= 0) & (u_in < WIN_C - 1) \
-        & (v_in >= 0) & (v_in < WIN_R - 1)
+    # --- window origins per candidate
+    # small levels: origin 0 (mod-s coords); windowed: aligned bbox min
+    dma_r = jnp.zeros((NT, NBLK), jnp.int32)
+    dma_c = jnp.zeros((NT, NBLK), jnp.int32)
+    # per-pixel slot + in-window coords
+    px_slot = jnp.full((NT, P), 0, jnp.int32)
+    px_u = jnp.zeros((NT, P), jnp.int32)
+    px_v = jnp.zeros((NT, P), jnp.int32)
+    covered = jnp.zeros((NT, P), bool)
 
-    blk_px = jnp.maximum(blk_of_px, 0)
-    row_idx0 = (blk_px * WIN_R + v_in).astype(jnp.float32)
+    r0_kc = row0[blk_mat, blk_level]                  # (NT, K)
+    c0_kc = col0[blk_mat, blk_level]
+    s_kc = s_blk
+    s_safe = jnp.maximum(s_kc, 1)
+
+    slot_ids = jnp.arange(NBLK, dtype=jnp.int32)
+    for ci, (cm, (xmn, ymn)) in enumerate(zip(cand_masks, cand_bbox)):
+        used = used_kc[:, :, ci]                      # (NT, K)
+        ox = jnp.where(small, 0, (xmn // COL_AL) * COL_AL)
+        oy = jnp.where(small, 0, (ymn // ROW_AL) * ROW_AL)
+        pr = r0_kc + jnp.remainder(oy, s_safe)
+        pc = c0_kc + jnp.remainder(ox, s_safe) * CH
+        slot = jnp.clip(slot_of.reshape(NT, K_TOP, 4)[:, :, ci],
+                        0, NBLK - 1)                  # (NT, K)
+        sel = used & ~dirty[:, None]
+        onehot = (slot[:, :, None] == slot_ids[None, None, :]) \
+            & sel[:, :, None]                         # (NT, K, NBLK)
+        dma_r = dma_r + jnp.sum(jnp.where(onehot, pr[:, :, None], 0),
+                                axis=1)
+        dma_c = dma_c + jnp.sum(jnp.where(onehot, pc[:, :, None], 0),
+                                axis=1)
+        # pixels of this candidate
+        pm = cm & (used & sel)[:, :, None]            # (NT, K, P)
+        px_in = jnp.any(pm, axis=1)
+        kof = jnp.argmax(pm, axis=1)                  # (NT, P) combo idx
+
+        def pick(a):  # (NT, K) -> (NT, P) via kof, masked by px_in
+            return jnp.sum(
+                a[:, :, None] * (kof[:, None, :]
+                                 == jnp.arange(K_TOP)[None, :, None]),
+                axis=1)
+
+        ox_p = pick(ox)
+        oy_p = pick(oy)
+        s_p = jnp.maximum(pick(s_kc), 1)
+        small_p = pick(small.astype(jnp.int32)) > 0
+        u_in = jnp.where(small_p, jnp.remainder(x0, s_p), x0 - ox_p)
+        v_in = jnp.where(small_p, jnp.remainder(y0, s_p), y0 - oy_p)
+        sl_p = pick(slot)
+        good = px_in & (u_in >= 0) & (u_in < WIN_C - 1) \
+            & (v_in >= 0) & (v_in < WIN_R - 1)
+        px_slot = jnp.where(good, sl_p, px_slot)
+        px_u = jnp.where(good, u_in, px_u)
+        px_v = jnp.where(good, v_in, px_v)
+        covered = covered | good
+
+    dirty = dirty | jnp.any(live_t & ~covered, axis=1)
+
+    row_idx0 = (px_slot * WIN_R + px_v).astype(jnp.float32)
     z = jnp.float32(0.0)
     perpx = jnp.stack([
         jnp.where(covered, row_idx0, z),
         jnp.where(covered, fv, z),
-        jnp.where(covered, u_in.astype(jnp.float32), z),
+        jnp.where(covered, px_u.astype(jnp.float32), z),
         jnp.where(covered, fu, z),
     ], axis=1)                                        # (NT, 4, P)
 
-    uncovered_live = ((blk_of_px == -1)
-                      | ((blk_of_px >= 0) & ~covered))
-    dirty = jnp.any(uncovered_live, axis=1) | jnp.any(has_px & ~fits,
-                                                      axis=1)
-    return perpx, dma, dirty
+    dma = jnp.stack([dma_r, dma_c], axis=2).astype(jnp.int32)
+    return perpx, dma, jnp.minimum(n_used, NBLK), dirty
 
 
 # ---------------------------------------------------------------------------
@@ -305,39 +413,54 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
 # ---------------------------------------------------------------------------
 
 
-def _tile_kernel(dma_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
-    """One grid step = one screen tile (module docstring has the math)."""
+def _tile_kernel(meta_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
+    """One grid step = one screen tile (module docstring has the math).
+
+    meta_ref: FLAT (NT * (1 + NBLK*2),) i32 scalar-prefetch —
+    per tile [n_used, (row, col) x NBLK]; unused slots skip their DMA
+    (their W rows keep the previous tile's finite values, and no
+    pixel's one-hot selects them).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    STRIDE = 1 + NBLK * 2
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     slot = jax.lax.rem(t, 2)
 
     def block_dma(tile, buf_slot, b):
-        # dma_ref is FLAT (NT*NBLK*2,) i32: multi-dim SMEM prefetch
-        # operands get lane-padded (minor dim -> 128) and blow the
-        # 1 MB SMEM budget at 1080p tile counts
-        base = (tile * NBLK + b) * 2
-        r = pl.multiple_of(dma_ref[base], ROW_AL)
-        c = pl.multiple_of(dma_ref[base + 1], 128)
+        base = tile * STRIDE + 1 + b * 2
+        r = pl.multiple_of(meta_ref[base], ROW_AL)
+        c = pl.multiple_of(meta_ref[base + 1], 128)
         return pltpu.make_async_copy(
             page_ref.at[pl.ds(r, WIN_R), pl.ds(c, WIN_LANES)],
             w_buf.at[buf_slot, pl.ds(b * WIN_R, WIN_R), :],
             sem.at[buf_slot, b])
 
+    def start_tile(tile, buf_slot):
+        n = meta_ref[tile * STRIDE]
+        for b in range(NBLK):
+            @pl.when(b < n)
+            def _():
+                block_dma(tile, buf_slot, b).start()
+
     @pl.when(t == 0)
     def _():
-        for b in range(NBLK):
-            block_dma(0, 0, b).start()
+        # NaN-safety: VMEM scratch starts uninitialized; rows of slots
+        # never DMA'd must still be FINITE for the masked matmul
+        w_buf[...] = jnp.zeros_like(w_buf)
+        start_tile(0, 0)
 
     @pl.when(t + 1 < nt)
     def _():
-        for b in range(NBLK):
-            block_dma(t + 1, 1 - slot, b).start()
+        start_tile(t + 1, 1 - slot)
 
+    n_cur = meta_ref[t * STRIDE]
     for b in range(NBLK):
-        block_dma(t, slot, b).wait()
+        @pl.when(b < n_cur)
+        def _():
+            block_dma(t, slot, b).wait()
 
     W = w_buf[slot]                                  # (R_TOTAL, WIN_LANES)
     rI0 = perpx_ref[0, 0, :][:, None]                # (P, 1) f32
@@ -369,9 +492,9 @@ def _tile_kernel(dma_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
     out_ref[0] = out
 
 
-def sample_atlas_page(page_arr, dma, perpx, *, interpret: bool = False):
-    """Run the tile kernel.  page_arr (rows, cols) bf16; dma
-    (NT, NBLK, 2) i32; perpx (NT, 4, P) f32 -> (NT, 12, P) f32 raw
+def sample_atlas_page(page_arr, meta, perpx, *, interpret: bool = False):
+    """Run the tile kernel.  page_arr (rows, cols) bf16; meta
+    (NT*(1+NBLK*2),) i32; perpx (NT, 4, P) f32 -> (NT, 12, P) f32 raw
     u8-valued channels."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -381,11 +504,11 @@ def sample_atlas_page(page_arr, dma, perpx, *, interpret: bool = False):
         num_scalar_prefetch=1,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, 4, P), lambda t, dma: (t, 0, 0),
+            pl.BlockSpec((1, 4, P), lambda t, meta: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),       # page (HBM)
         ],
-        out_specs=pl.BlockSpec((1, CH, P), lambda t, dma: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, CH, P), lambda t, meta: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, R_TOTAL, WIN_LANES), jnp.bfloat16),
@@ -397,7 +520,7 @@ def sample_atlas_page(page_arr, dma, perpx, *, interpret: bool = False):
         grid_spec=gspec,
         out_shape=jax.ShapeDtypeStruct((NT, CH, P), jnp.float32),
         interpret=interpret,
-    )(dma.reshape(-1), perpx, page_arr)
+    )(meta, perpx, page_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -409,11 +532,11 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
                        atlas_fallback, *, size: int, n_levels: int,
                        num_materials: int, layer_stride: int,
                        filter_mode: str = "bilinear",
-                       dirty_cap: int = 256,
+                       dirty_cap: int = 768,
                        interpret: bool = False, H: int = 0, W: int = 0):
     """Tiled sampling of the 11 material channels.
 
-    mid/lod/live: (H*W,); uv: (2, H*W); H, W multiples of 32.
+    mid/lod/live: (H*W,); uv: (2, H*W); H, W multiples of 16.
     filter_mode: "bilinear" (nearest mip, one kernel pass) or
     "trilinear" (two passes, lod-frac lerp).
     Returns ((11, H*W) f32 in [0,1], overflow () int32 —
@@ -445,11 +568,14 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
     out_t = None
     dirty_any = jnp.zeros((NT,), bool)
     for level_t, weight in passes:
-        perpx, dma, dirty = _plan_tiles_impl(
+        perpx, dma, n_used, dirty = _plan_tiles_impl(
             mid_t, u_t, v_t, level_t, live_t, page.row0, page.col0,
             size=size, n_levels=n_levels, num_materials=num_materials)
-        dma = jnp.where(dirty[:, None, None], 0, dma)
-        res = sample_atlas_page(page.page, dma, perpx,
+        n_used = jnp.where(dirty, 0, n_used)
+        meta = jnp.concatenate(
+            [n_used[:, None], dma.reshape(NT, NBLK * 2)],
+            axis=1).reshape(-1).astype(jnp.int32)
+        res = sample_atlas_page(page.page, meta, perpx,
                                 interpret=interpret)  # (NT, 12, P)
         dirty_any = dirty_any | dirty
         if weight is None:

@@ -91,28 +91,43 @@ class ViewerState:
         self.lock = threading.Lock()
 
 
-def render_loop(state: ViewerState):
-    """The Application::run analog."""
-    import jax
+def render_loop(state: ViewerState, frames_in_flight: int = 2):
+    """The Application::run analog, with frames-in-flight pipelining
+    (renderer.cpp:137,646 swapchain analog; VERDICT r2 item 9).
+
+    JAX dispatch is asynchronous: frame N+1 is dispatched BEFORE frame
+    N's pixels are read back, so the ~27 ms tunnel round trip overlaps
+    the next frame's device compute instead of serializing with it.
+    Throughput fps then tracks 1000/frame-ms; the extra frame of
+    latency is reported separately."""
+    from collections import deque
     from ..utils.image_io import to_srgb_u8
     from PIL import Image
     dt = 1.0 / 60.0
+    queue = deque()       # (dispatch_time, outputs) oldest-first
+    last_present = time.perf_counter()
     while True:
-        t0 = time.perf_counter()
         with state.lock:
             g, mm, nm = state.built.frame_globals(state.frame_index, dt)
             g = _apply_overrides(g, state.overrides)
         outputs, state.history = state.render_fn(
             state.built.batch, g, state.history, mm, nm)
-        jax.block_until_ready(outputs.color)
-        frame = to_srgb_u8(np.asarray(outputs.color))
+        queue.append((time.perf_counter(), outputs))
+        state.frame_index += 1
+        if len(queue) < frames_in_flight:
+            continue
+        t_disp, outs = queue.popleft()
+        frame = to_srgb_u8(np.asarray(outs.color))   # sync point (oldest)
         buf = io.BytesIO()
         Image.fromarray(frame).save(buf, format="JPEG", quality=85)
         state.frame_jpeg = buf.getvalue()
-        state.frame_index += 1
-        ms = (time.perf_counter() - t0) * 1e3
-        state.metrics = {"frame_ms": round(ms, 2),
-                         "fps": round(1000.0 / max(ms, 1e-3), 1),
+        now = time.perf_counter()
+        frame_ms = (now - last_present) * 1e3        # throughput
+        latency_ms = (now - t_disp) * 1e3            # dispatch->present
+        last_present = now
+        state.metrics = {"frame_ms": round(frame_ms, 2),
+                         "latency_ms": round(latency_ms, 2),
+                         "fps": round(1000.0 / max(frame_ms, 1e-3), 1),
                          "frame": state.frame_index}
 
 

@@ -201,6 +201,15 @@ def _untileize(x, H, W):
             .transpose(2, 0, 3, 1, 4).reshape(C, H, W))
 
 
+def _untileize_pc(x, H, W):
+    """(NT, TH*TW, C) -> (C, H, W) — pixel-major kernel output layout,
+    single fused transpose."""
+    NTY, NTX = H // TH, W // TW
+    C = x.shape[2]
+    return (x.reshape(NTY, NTX, TH, TW, C)
+            .transpose(4, 0, 2, 1, 3).reshape(C, H, W))
+
+
 def _masked_bbox(m, x0, y0):
     """m: (NT, K, P) bool; x0/y0: (NT, P) -> min/max per (NT, K)."""
     big = jnp.int32(1 << 24)
@@ -413,13 +422,24 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
 # ---------------------------------------------------------------------------
 
 
-def _tile_kernel(meta_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
+OUT_PAD = 128    # kernel output lane pad (channels 0..CH-1 + zero pad):
+#                  a 12-lane-minor output block relayouts every step; a
+#                  (P, 128) block is vreg-native (measured 19.1 -> 14.6
+#                  ms with the bf16 stage 2 below)
+
+
+def _tile_kernel(meta_ref, perpx_ref, sel_ref, page_ref, out_ref, w_buf,
+                 sem):
     """One grid step = one screen tile (module docstring has the math).
 
     meta_ref: FLAT (NT * (1 + NBLK*2),) i32 scalar-prefetch —
     per tile [n_used, (row, col) x NBLK]; unused slots skip their DMA
     (their W rows keep the previous tile's finite values, and no
     pixel's one-hot selects them).
+
+    Stage 2 runs in bf16: window values are u8-valued (<= 255, exact in
+    bf16) and each blend adds <= 0.5 ulp ~ 0.5 u8 lsb — within the
+    documented bf16-blend-rounding envelope of the page itself.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -474,41 +494,52 @@ def _tile_kernel(meta_ref, perpx_ref, page_ref, out_ref, w_buf, sem):
          + (iR == rIi + 1).astype(jnp.float32) * fv)
     rowsel = jax.lax.dot_general(
         U.astype(jnp.bfloat16), W, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (P, WIN_LANES)
+        preferred_element_type=jnp.float32,          # Mosaic: acc must
+        ).astype(jnp.bfloat16)                       # be 32-bit
+    #                                                  (P, WIN_LANES)
 
     u0i = u0.astype(jnp.int32)
     texel = (jax.lax.broadcasted_iota(jnp.int32, (1, WIN_LANES), 1)
              // CH)
-    Vw = ((texel == u0i).astype(jnp.float32) * (1.0 - fu)
-          + (texel == u0i + 1).astype(jnp.float32) * fu)
-    tmp = (rowsel * Vw).astype(jnp.bfloat16)         # (P, WIN_LANES)
+    fub = fu.astype(jnp.bfloat16)
+    Vw = ((texel == u0i).astype(jnp.bfloat16) * (1 - fub)
+          + (texel == u0i + 1).astype(jnp.bfloat16) * fub)
+    tmp = rowsel * Vw                                # (P, WIN_LANES) bf16
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, CH), 0)
-    chan = jax.lax.broadcasted_iota(jnp.int32, (WIN_LANES, CH), 1)
-    sel = (lane % CH == chan).astype(jnp.bfloat16)
     out = jax.lax.dot_general(
-        sel, tmp, (((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (CH, P)
-    out_ref[0] = out
+        tmp, sel_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (P, OUT_PAD)
+    out_ref[0] = out.astype(jnp.bfloat16)
+
+
+def _channel_sel():
+    """(WIN_LANES, OUT_PAD) bf16 constant: lane l -> channel l % CH."""
+    lane = np.arange(WIN_LANES)[:, None]
+    chan = np.arange(OUT_PAD)[None, :]
+    return ((lane % CH == chan) & (chan < CH)).astype(np.float32)
 
 
 def sample_atlas_page(page_arr, meta, perpx, *, interpret: bool = False):
     """Run the tile kernel.  page_arr (rows, cols) bf16; meta
-    (NT*(1+NBLK*2),) i32; perpx (NT, 4, P) f32 -> (NT, 12, P) f32 raw
-    u8-valued channels."""
+    (NT*(1+NBLK*2),) i32; perpx (NT, 4, P) f32 -> (NT, P, OUT_PAD) bf16
+    raw u8-valued channels on lanes 0..CH-1 (rest zero)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NT = perpx.shape[0]
+    sel = jnp.asarray(_channel_sel(), jnp.bfloat16)
     gspec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NT,),
         in_specs=[
             pl.BlockSpec((1, 4, P), lambda t, meta: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            # constant block: fetched once, resident across steps
+            pl.BlockSpec((WIN_LANES, OUT_PAD), lambda t, meta: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),       # page (HBM)
         ],
-        out_specs=pl.BlockSpec((1, CH, P), lambda t, meta: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, P, OUT_PAD), lambda t, meta: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, R_TOTAL, WIN_LANES), jnp.bfloat16),
@@ -518,9 +549,9 @@ def sample_atlas_page(page_arr, meta, perpx, *, interpret: bool = False):
     return pl.pallas_call(
         _tile_kernel,
         grid_spec=gspec,
-        out_shape=jax.ShapeDtypeStruct((NT, CH, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NT, P, OUT_PAD), jnp.bfloat16),
         interpret=interpret,
-    )(meta, perpx, page_arr)
+    )(meta, perpx, sel, page_arr)
 
 
 # ---------------------------------------------------------------------------
@@ -575,13 +606,14 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
         meta = jnp.concatenate(
             [n_used[:, None], dma.reshape(NT, NBLK * 2)],
             axis=1).reshape(-1).astype(jnp.int32)
-        res = sample_atlas_page(page.page, meta, perpx,
-                                interpret=interpret)  # (NT, 12, P)
+        res = sample_atlas_page(
+            page.page, meta, perpx,
+            interpret=interpret)[:, :, :CH]            # (NT, P, CH) bf16
         dirty_any = dirty_any | dirty
         if weight is None:
             out_t = res
         else:
-            w3 = weight[:, None, :]
+            w3 = weight[:, :, None].astype(jnp.bfloat16)
             out_t = res * w3 if out_t is None else out_t + res * w3
 
     # ---- dirty-tile fallback: exact gather on compacted tiles
@@ -597,10 +629,11 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
         atlas_fallback, f_mid, f_uv, f_lod, size=size,
         layer_stride=layer_stride, n_levels=n_levels,
         filter_mode=filter_mode)                      # (11, D*P)
-    tex_f = tex_f.reshape(11, dirty_cap, P).transpose(1, 0, 2) * 255.0
-    pad_row = jnp.zeros((dirty_cap, 1, P), jnp.float32)
-    tex_f = jnp.concatenate([tex_f, pad_row], axis=1)  # (D, 12, P)
+    tex_f = (tex_f.reshape(11, dirty_cap, P).transpose(1, 2, 0)
+             * 255.0).astype(jnp.bfloat16)
+    pad_row = jnp.zeros((dirty_cap, P, 1), jnp.bfloat16)
+    tex_f = jnp.concatenate([tex_f, pad_row], axis=2)  # (D, P, CH)
     out_t = out_t.at[dirty_ids].set(tex_f, mode="drop")
 
-    out = _untileize(out_t, H, W)[:11] / 255.0       # (11, H, W)
+    out = _untileize_pc(out_t, H, W)[:11].astype(jnp.float32) / 255.0
     return out.reshape(11, H * W), overflow

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Isolate the tile texture sampler's parts on the real chip:
+phase-1 planning, the Pallas kernel, and the dirty fallback.
+
+Usage: python tools/bench_texsample.py [--scene full --width 1920
+       --height 1088]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, *args, n=8, label=""):
+    import jax
+    f = jax.jit(fn)
+    out = f(*args)
+    # block_until_ready is unreliable over the tunnel (PERF.md): force a
+    # float readback so warmup (incl. first-touch paging of the 358 MB
+    # page) completes before the timed loop
+    s = jax.tree_util.tree_reduce(
+        lambda a, x: a + x.sum().astype("float32"), out, 0.0)
+    float(s)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    s = jax.tree_util.tree_reduce(
+        lambda a, x: a + x.sum().astype("float32"), out, 0.0)
+    float(s)
+    ms = (time.perf_counter() - t0) * 1e3 / n
+    print(f"{label:28s} {ms:8.2f} ms", flush=True)
+    return ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="full")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1088)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.config import RenderConfig
+    from soc_real_time_renderer_tpu.ops import texsample as ts
+
+    H, W = args.height, args.width
+    built = scenes.build(args.scene,
+                         RenderConfig(width=W, height=H))
+    plan = built.plan
+    # device-put: a host numpy page closed over by a jitted fn is baked
+    # as a graph constant -> giant remote_compile request (HTTP 413)
+    page = jax.device_put(built.batch.atlas_page)
+    atlas_packed = jax.device_put(built.batch.atlas_packed)
+
+    d = np.load("/tmp/texfields.npz")  # captured by the probe script
+    mid = jnp.asarray(d["mid"]).reshape(-1)
+    uv = jnp.stack([jnp.asarray(d["u"]).reshape(-1),
+                    jnp.asarray(d["v"]).reshape(-1)])
+    lod = jnp.asarray(d["lod"]).reshape(-1)
+    live = jnp.asarray(d["live"]).reshape(-1)
+
+    mid_t = ts._tileize(mid.reshape(H, W), H, W)
+    u_t = ts._tileize(uv[0].reshape(H, W), H, W)
+    v_t = ts._tileize(uv[1].reshape(H, W), H, W)
+    lod_t = ts._tileize(jnp.clip(lod, 0, plan.atlas_n_levels - 1
+                                 ).reshape(H, W), H, W)
+    live_t = ts._tileize(live.reshape(H, W), H, W)
+    lvl = jnp.clip(jnp.round(lod_t).astype(jnp.int32), 0,
+                   plan.atlas_n_levels - 1)
+    NT = mid_t.shape[0]
+
+    def plan_fn(mid_t, u_t, v_t, lvl, live_t):
+        return ts._plan_tiles_impl(
+            mid_t, u_t, v_t, lvl, live_t, page.row0, page.col0,
+            size=plan.atlas_size, n_levels=plan.atlas_n_levels,
+            num_materials=plan.atlas_num_materials)
+
+    perpx, dma, n_used, dirty = jax.jit(plan_fn)(
+        mid_t, u_t, v_t, lvl, live_t)
+    print(f"NT={NT} dirty={int(dirty.sum())} "
+          f"avg_slots={float(n_used.mean()):.2f}", flush=True)
+    timed(plan_fn, mid_t, u_t, v_t, lvl, live_t, label="phase1 planning")
+
+    n_used0 = jnp.where(dirty, 0, n_used)
+    meta = jnp.concatenate(
+        [n_used0[:, None], dma.reshape(NT, ts.NBLK * 2)],
+        axis=1).reshape(-1).astype(jnp.int32)
+
+    def kern(page_arr, meta, perpx):
+        return ts.sample_atlas_page(page_arr, meta, perpx,
+                                    interpret=False)
+    timed(kern, page.page, meta, perpx, label="pallas kernel")
+
+    def full(page, atlas_packed, mid, uv, lod, live):
+        return ts.sample_atlas_tiled(
+            page, mid, uv, lod, live, atlas_packed,
+            size=plan.atlas_size, n_levels=plan.atlas_n_levels,
+            num_materials=plan.atlas_num_materials,
+            layer_stride=plan.atlas_layer_stride,
+            filter_mode="bilinear", dirty_cap=plan.tex_dirty_cap,
+            interpret=False, H=H, W=W)
+    timed(full, page, atlas_packed, mid, uv, lod, live,
+          label="full sample_atlas_tiled")
+
+    from soc_real_time_renderer_tpu.ops import gbuffer as gb
+
+    def xla_tap(atlas_packed, mid, uv, lod):
+        return gb.sample_packed_atlas(
+            atlas_packed, mid, uv, lod,
+            size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
+            n_levels=plan.atlas_n_levels, filter_mode="bilinear")
+    timed(xla_tap, atlas_packed, mid, uv,
+          jnp.clip(lod, 0, plan.atlas_n_levels - 1),
+          label="XLA gather tap (old path)")
+
+
+if __name__ == "__main__":
+    main()

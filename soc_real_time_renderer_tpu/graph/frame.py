@@ -86,8 +86,11 @@ class FramePlan:
     texture_filter: str = "bilinear"
     # texture tap backend: "pallas" = tile-resident windowed sampler
     # (ops/texsample.py, VERDICT r2 item 1) with the XLA gather as the
-    # dirty-tile fallback; "xla" = exact global gather only.
-    texture_impl: str = "pallas"
+    # dirty-tile fallback; "xla" = exact global gather only; "auto"
+    # (default) = pallas for multi-material atlases, xla for
+    # single-material ones (see make_render_fn for the measured
+    # crossover).
+    texture_impl: str = "auto"
     atlas_num_materials: int = 1
     tex_dirty_cap: int = 768     # fallback tiles before OVERFLOW_TEX_DIRTY
     interpret: bool | None = None   # Pallas interpret override (tests)
@@ -281,8 +284,18 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     interp = plan.interpret
     if interp is None:
         interp = jax.default_backend() not in ("tpu", "axon")
-    use_page = (plan.texture_impl == "pallas"
-                and batch.atlas_page is not None)
+    # "auto" uses the tile sampler only where it wins: the XLA gather's
+    # cost scales with the atlas working set, so a single-material
+    # atlas (16 MB expanded — helmet, terrain) gathers near cache
+    # speed and the tile planner + window DMA is pure overhead
+    # (measured: config 1 9.4 pallas vs 6.2 xla, config 4 107.1 vs
+    # 89.8), while multi-material atlases (>= 32 MB — sponza 66 MB,
+    # full 78 MB) are latency-bound in XLA and the kernel wins
+    # (config 5: 139.4 xla vs 119.6 pallas).
+    impl = plan.texture_impl
+    if impl == "auto":
+        impl = "pallas" if plan.atlas_num_materials >= 2 else "xla"
+    use_page = impl == "pallas" and batch.atlas_page is not None
     gbuf, tex_overflow = gbuf_ops.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,

@@ -622,6 +622,13 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
         jnp.sum(dirty_any.astype(jnp.int32)) > dirty_cap,
         OVERFLOW_TEX_DIRTY, 0).astype(jnp.int32)
     dsafe = jnp.minimum(dirty_ids, NT - 1)
+    # NOTE: unused fallback slots (dirty_ids == NT fill) re-gather tile
+    # NT-1's pixels.  Clamping them to a degenerate constant index was
+    # MEASURED SLOWER (config 1: 9.4 -> 11.1 ms/frame; isolated: an
+    # all-zero-index (N,12) gather costs 88.6 ms where random costs
+    # 47.1 — same-address lanes serialize).  Fallback cost is therefore
+    # ~dirty_cap * P regardless of index content: the cap is sized per
+    # scene (FramePlan.tex_dirty_cap), not masked per frame.
     f_mid = mid_t[dsafe].reshape(-1)
     f_uv = jnp.stack([u_t[dsafe].reshape(-1), v_t[dsafe].reshape(-1)])
     f_lod = lod_t[dsafe].reshape(-1)

@@ -93,10 +93,14 @@ def test_sharded_production_pallas_kernels():
                                       pair_cap=65536, med_cap=1024),
         shadow_grid=dataclasses.replace(b.plan.shadow_grid,
                                         pair_cap=65536, med_cap=1024),
+        # helmet is single-material so "auto" would resolve the texture
+        # tap to the XLA gather (graph/frame.py crossover) — pin the
+        # Pallas tile sampler: this test exists to prove the production
+        # KERNELS shard, not the auto heuristic
+        texture_impl="pallas",
         interpret=True)
     assert plan1.config.ssao_impl == "pallas"
     assert plan1.config.taa_impl == "pallas"
-    assert plan1.texture_impl == "pallas"
 
     mesh = pmesh.make_mesh(2, dp=1)     # sp=2: 128-row bands >= halos
     g, mm, nm = b.frame_globals(1)
@@ -155,8 +159,17 @@ def test_sharded_shade_distributes_rows(built):
     # output shards must be row bands, not replicas
     shard_shapes = {s.data.shape for s in color.addressable_shards}
     assert shard_shapes == {(3, CFG.height // 8, CFG.width)}, shard_shapes
-    # atol 1e-4: the row-split stack reassociates reductions (bloom
-    # convolution partials, exposure histogram psums) — observed max
-    # deviation 4.7e-5 on <0.2% of pixels, far below the u8 output
-    # quantum (1/255); bit-identity across shardings is not a goal
-    np.testing.assert_allclose(np.asarray(color), ref, atol=1e-4)
+    # Two tolerance regimes, both far below the u8 output quantum
+    # (1/255 ≈ 3.9e-3) — bit-identity across shardings is not a goal:
+    #  * reduction reassociation (bloom convolution partials, exposure
+    #    histogram psums): observed max 4.7e-5 on <0.2% of pixels;
+    #  * texsample band-local tiling (gbuffer.py sharded branch):
+    #    regrouping pixels into band-local 16x16 tiles can move an
+    #    individual pixel between the bf16 window kernel and the f32
+    #    dirty-tile fallback, a documented ~0.5 u8-lsb blend quantum
+    #    (texsample.py module docstring) — observed 1 px / 49k at
+    #    3.85e-4.
+    err = np.abs(np.asarray(color) - ref)
+    assert float(err.max()) < 2.5e-3, float(err.max())
+    assert float((err > 1e-4).mean()) < 1e-3, \
+        f"{(err > 1e-4).mean():.2e} of pixels beyond reassociation noise"

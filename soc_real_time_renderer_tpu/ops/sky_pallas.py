@@ -61,8 +61,18 @@ def _hg(x, g):
 
 def _sample_noise_mxu(noise, cu, cv):
     """Bilinear-repeat sample of the (64, 64) VMEM noise tile at uv
-    (cu, cv) — both (8, 128) — via one soft-one-hot MXU matmul per
-    sublane row (clouds._sample_repeat semantics: x = u*N - 0.5)."""
+    (cu, cv) — both (8, 128) — via ONE soft-one-hot MXU matmul for the
+    whole tile (clouds._sample_repeat semantics: x = u*N - 0.5).
+
+    The 8 sublane rows are flattened into the lane dim: weights are
+    built per sublane as (64, 128) blocks and concatenated to
+    (64, 1024), so the 8 small (64,64)@(64,128) matmuls of the naive
+    form become one (64,64)@(64,1024) — same MACs, 8x fewer MXU
+    dispatches (the march issues 2112 taps per tile, so dispatch
+    overhead is a first-order cost).  The bilinear weight itself is the
+    closed form max(0, 1 - wrap_dist(iN, x)) — cheaper on the VPU than
+    two one-hot compares + selects, and exactly equal for fx in [0,1):
+    lane x0 gets 1-fx, lane x1 gets fx, every other lane 0."""
     N = NOISE_N
     x = cu * N - 0.5
     y = cv * N - 0.5
@@ -70,28 +80,31 @@ def _sample_noise_mxu(noise, cu, cv):
     y0f = jnp.floor(y)
     fx = x - x0f
     fy = y - y0f
-    # repeat wrap of the two corner indices per axis
-    x0 = jnp.remainder(x0f.astype(jnp.int32), N)
-    x1 = jnp.remainder(x0 + 1, N)
-    y0 = jnp.remainder(y0f.astype(jnp.int32), N)
-    y1 = jnp.remainder(y0 + 1, N)
+    # wrapped fractional coordinate in [0, N)
+    xw = jnp.remainder(x0f, N) + fx
+    yw = jnp.remainder(y0f, N) + fy
 
-    iN = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 0)
-    rows = []
-    for s in range(8):
-        fxs = fx[s:s + 1]
-        fys = fy[s:s + 1]
-        # soft one-hot over x: the two bilinear x-weights (wrap-aware)
-        wx = (jnp.where(iN == x0[s:s + 1], 1.0 - fxs, 0.0)
-              + jnp.where(iN == x1[s:s + 1], fxs, 0.0)).astype(jnp.bfloat16)
-        col = jax.lax.dot_general(
-            noise, wx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (64y, 128)
-        # y-weights ride the row mask-reduce
-        wy = (jnp.where(iN == y0[s:s + 1], 1.0 - fys, 0.0)
-              + jnp.where(iN == y1[s:s + 1], fys, 0.0))
-        rows.append(jnp.sum(col * wy, axis=0, keepdims=True))
-    return jnp.concatenate(rows, axis=0)                 # (8, 128)
+    # integer iota + convert: Mosaic's tpu.iota is int-only
+    iN = jax.lax.broadcasted_iota(
+        jnp.int32, (N, 128), 0).astype(jnp.float32)
+
+    def weights(cw):
+        """(8,128) wrapped coord -> (64, 1024) bilinear lane weights."""
+        cols = []
+        for s in range(8):
+            d = jnp.abs(iN - cw[s:s + 1])
+            d = jnp.minimum(d, N - d)                # repeat wrap
+            cols.append(jnp.maximum(0.0, 1.0 - d))
+        return jnp.concatenate(cols, axis=1)         # (64, 1024)
+
+    WX = weights(xw).astype(jnp.bfloat16)
+    col = jax.lax.dot_general(
+        noise, WX, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (64y, 1024)
+    WY = weights(yw)
+    summed = jnp.sum(col * WY, axis=0, keepdims=True)    # (1, 1024)
+    return jnp.concatenate(
+        [summed[:, s * 128:(s + 1) * 128] for s in range(8)], axis=0)
 
 
 def _noise3(noise, px, py, pz):
@@ -280,8 +293,17 @@ def _sky_kernel(params_ref, noise_ref, out_ref, *, lut_w, lut_h,
             return acc + _get_clouds(noise, qx, qy, qz, cam_x, cam_z,
                                      elapsed)
 
-        svis = jax.lax.fori_loop(0, sun_steps, sun_body,
-                                 jnp.zeros_like(od))
+        # The reference skips sun shading for zero-density samples
+        # (cloud_rendering.inl:335 `if (opticalDepth <= 0.0) continue`);
+        # the SPMD analog is per-TILE: when no pixel of the tile has
+        # density at this step, every contribution below is masked by
+        # tr_h == 0 anyway, so skipping the 10-step sun march (80 of
+        # the 88 noise taps of this step) is output-exact.
+        svis = jax.lax.cond(
+            jnp.any(od > 0.0),
+            lambda: jax.lax.fori_loop(0, sun_steps, sun_body,
+                                      jnp.zeros_like(od)),
+            lambda: jnp.zeros_like(od))
         sunv = jnp.exp(-svis * sun_r_steps)
 
         integral = (jnp.exp(-1.11 * R_LOG2 * od) * (-1.0 / 1.11)
@@ -297,9 +319,21 @@ def _sky_kernel(params_ref, noise_ref, out_ref, *, lut_w, lut_h,
         trans = jnp.where(hit, trans * jnp.exp(-od), trans)
         return (sc_r, sc_g, sc_b, trans)
 
-    sc_r, sc_g, sc_b, trans = jax.lax.fori_loop(
-        0, march_steps, march_body,
-        (zero, zero, zero, jnp.ones_like(rx)))
+    # Downward tiles skip the march entirely: the final composite
+    # outputs pure atmosphere wherever ry < 0 (the reference's
+    # below-horizon branch), and a lat-long tile whose LAST row is
+    # still below the equator has ry < 0 everywhere — its march result
+    # is provably discarded.  For the production 256x128 LUT that is
+    # exactly half the tiles (and half the 2112-taps-per-texel march
+    # cost), with bit-identical output.
+    march_init = (zero, zero, zero, jnp.ones_like(rx))
+    tile_any_up = (ty + 1) * 8 > lut_h // 2
+
+    sc_r, sc_g, sc_b, trans = jax.lax.cond(
+        tile_any_up,
+        lambda: jax.lax.fori_loop(0, march_steps, march_body,
+                                  march_init),
+        lambda: march_init)
 
     fade = jnp.clip(jnp.sqrt(sx * sx + sy * sy + sz * sz)
                     * 0.00001 * 2.5, 0.0, 1.0)

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--scene", default="full")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--fields", default="/tmp/texfields.npz",
+                    help="npz of per-pixel mid/u/v/lod/live captured by "
+                         "tools/capture_texfields.py at the same "
+                         "scene/resolution")
     args = ap.parse_args()
 
     import jax
@@ -61,7 +65,7 @@ def main():
     page = jax.device_put(built.batch.atlas_page)
     atlas_packed = jax.device_put(built.batch.atlas_packed)
 
-    d = np.load("/tmp/texfields.npz")  # captured by the probe script
+    d = np.load(args.fields)  # captured by tools/capture_texfields.py
     mid = jnp.asarray(d["mid"]).reshape(-1)
     uv = jnp.stack([jnp.asarray(d["u"]).reshape(-1),
                     jnp.asarray(d["v"]).reshape(-1)])

@@ -69,6 +69,66 @@ def _cylinder(center, radius, height, segments=24, vdiv=8):
     return quads
 
 
+def _sponza_materials(texture_dir: str, count: int = 5):
+    """Real Sponza material triplets from the surviving ``Sponza.gltf``.
+
+    The mounted reference assets lack Sponza's geometry (``.bin``) but
+    keep the glTF JSON, so the MATERIAL definitions (which albedo /
+    normal / metallic-roughness image each material samples,
+    ``Sponza.gltf`` ``materials[]``) are intact.  The stand-in atrium
+    uses the first ``count`` opaque materials that carry all three maps,
+    so configs 3/5 exercise every sampled texture plane per pixel the
+    way real Sponza does (``g_buffer_generation.inl:186-224``) instead
+    of albedo-only flats.  Returns (images, materials) or None when the
+    gltf is absent.
+    """
+    import json
+    path = os.path.join(texture_dir, "Sponza.gltf")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        g = json.load(f)
+    uris = [i.get("uri") for i in g.get("images", [])]
+    tsrc = [t.get("source", -1) for t in g.get("textures", [])]
+
+    def uri(slot):
+        if slot is None:
+            return None
+        return uris[tsrc[slot["index"]]]
+
+    picks = []
+    for m in g.get("materials", []):
+        if m.get("alphaMode", "OPAQUE") != "OPAQUE":
+            continue        # cutout foliage on opaque walls looks wrong
+        pbr = m.get("pbrMetallicRoughness", {})
+        a = uri(pbr.get("baseColorTexture"))
+        mr = uri(pbr.get("metallicRoughnessTexture"))
+        n = uri(m.get("normalTexture"))
+        if a and mr and n:
+            picks.append((a, mr, n))
+        if len(picks) == count:
+            break
+    if len(picks) < count:
+        return None
+
+    images, index_of = [], {}
+
+    def img(name, srgb):
+        key = (name, srgb)
+        if key not in index_of:
+            with open(os.path.join(texture_dir, name), "rb") as f:
+                images.append(ImageRef(name=name, data=f.read(),
+                                       srgb=srgb))
+            index_of[key] = len(images) - 1
+        return index_of[key]
+
+    materials = [MaterialData(albedo_image=img(a, True),
+                              metallic_roughness_image=img(mr, False),
+                              normal_image=img(n, False))
+                 for a, mr, n in picks]
+    return images, materials
+
+
 def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
                  seed: int = 7) -> ModelData:
     """Sponza-scale atrium: floor, walls, two colonnade rows, ceiling
@@ -131,18 +191,24 @@ def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
         voff += len(p)
         ioff += len(ix)
 
-    # materials from real Sponza textures when available
-    images, materials = [], []
-    tex_files = sorted(glob.glob(os.path.join(texture_dir or "", "*.jpg")))[:5] \
-        if texture_dir else []
-    for i in range(5):
-        if i < len(tex_files):
-            images.append(ImageRef(name=os.path.basename(tex_files[i]),
-                                   data=open(tex_files[i], "rb").read(),
-                                   srgb=True))
-            materials.append(MaterialData(albedo_image=i))
-        else:
-            materials.append(MaterialData())
+    # materials from real Sponza material definitions when available
+    got = _sponza_materials(texture_dir, count=5) if texture_dir else None
+    if got is not None:
+        images, materials = got
+    else:
+        # fallback: first 5 JPEGs as albedo-only
+        images, materials = [], []
+        tex_files = sorted(
+            glob.glob(os.path.join(texture_dir or "", "*.jpg")))[:5] \
+            if texture_dir else []
+        for i in range(5):
+            if i < len(tex_files):
+                images.append(ImageRef(name=os.path.basename(tex_files[i]),
+                                       data=open(tex_files[i], "rb").read(),
+                                       srgb=True))
+                materials.append(MaterialData(albedo_image=i))
+            else:
+                materials.append(MaterialData())
 
     return ModelData(
         positions=np.concatenate(pos_l), normals=np.concatenate(nrm_l),

@@ -251,17 +251,42 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    # --- top-K_TOP combos per tile by pixel count
-    cids = jnp.arange(M * L, dtype=jnp.int32)
-    counts = jnp.sum(
-        (combo[:, None, :] == cids[None, :, None]).astype(jnp.int32),
-        axis=2)                                       # (NT, M*L)
+    # --- top-K_TOP combos per tile by pixel count.
+    # Run-length top-K on the per-tile SORTED combo row instead of a
+    # dense (NT, M*L, P) one-hot histogram: the dense form materializes
+    # 643 MB of int32 at 1080p/full (M=7, L=11) and is HBM-bound, while
+    # the sorted row is (NT, P) and each combo becomes one contiguous
+    # run whose length is its count.  Tie-breaking matches the dense
+    # argmax (leftmost run = smallest combo id); exhausted tiles pick
+    # combo 0 with count 0, exactly like the dense form's argmax over
+    # all-zero counts.
+    idxP = jnp.arange(P, dtype=jnp.int32)[None, :]
+    sorted_c = jnp.sort(combo, axis=1)                # (NT, P)
+    is_start = jnp.concatenate(
+        [jnp.ones((NT, 1), bool), sorted_c[:, 1:] != sorted_c[:, :-1]],
+        axis=1)
+    # suffix-min of start positions -> index of the next run start
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_start, idxP, P)[:, ::-1],
+        axis=1)[:, ::-1]
+    nxt_excl = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((NT, 1), P, jnp.int32)], axis=1)
+    run_len = jnp.where(is_start & (sorted_c >= 0), nxt_excl - idxP, 0)
     top_combo = []
-    cts = counts
+    cts = run_len
     for _ in range(K_TOP):
-        best = jnp.argmax(cts, axis=1).astype(jnp.int32)     # (NT,)
-        top_combo.append(best)
-        cts = cts * (1 - (cids[None, :] == best[:, None]))
+        j = jnp.argmax(cts, axis=1).astype(jnp.int32)        # (NT,)
+        ln = jnp.take_along_axis(cts, j[:, None], axis=1)[:, 0]
+        # exhausted tiles (all remaining runs empty) pick combo 0 with
+        # count 0 — same as the dense argmax over all-zero counts;
+        # without this an exhausted argmax lands on position 0 and
+        # re-picks the tile's FIRST combo as a duplicate (measured:
+        # dirty 440 -> 1295, avg_slots 3.1 -> 6.6 on sponza 736p)
+        top_combo.append(jnp.where(
+            ln > 0,
+            jnp.take_along_axis(sorted_c, j[:, None], axis=1)[:, 0],
+            0))
+        cts = cts * (1 - (idxP == j[:, None]))
     top_combo = jnp.stack(top_combo, axis=1)          # (NT, K_TOP)
 
     is_c = combo[:, None, :] == top_combo[:, :, None]   # (NT, K, P)
@@ -422,19 +447,25 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
 # ---------------------------------------------------------------------------
 
 
-OUT_PAD = 128    # kernel output lane pad (channels 0..CH-1 + zero pad):
-#                  a 12-lane-minor output block relayouts every step; a
-#                  (P, 128) block is vreg-native (measured 19.1 -> 14.6
-#                  ms with the bf16 stage 2 below)
+TPS = 4          # tiles per grid step: the measured kernel floor is
+#                  STRUCTURAL, not compute — an empty kernel with the
+#                  per-tile grid + (P, 128) block writes costs 5.5 ms
+#                  of the 10.2 ms total at 3680 tiles (bench_texkernel
+#                  _parts.py: "nothing" variant).  Batching 4 tiles per
+#                  step cuts grid steps and HBM writes 4x; each tile's
+#                  channels land in a 32-lane stripe of one shared
+#                  (P, 128) output block.
+OUT_SUB = 32     # output lanes per tile (channels 0..CH-1 + zero pad)
+OUT_PAD = TPS * OUT_SUB          # = 128: one vreg-native block
 
 
 def _tile_kernel(meta_ref, perpx_ref, sel_ref, page_ref, out_ref, w_buf,
                  sem):
-    """One grid step = one screen tile (module docstring has the math).
+    """One grid step = TPS screen tiles (module docstring has the math).
 
     meta_ref: FLAT (NT * (1 + NBLK*2),) i32 scalar-prefetch —
     per tile [n_used, (row, col) x NBLK]; unused slots skip their DMA
-    (their W rows keep the previous tile's finite values, and no
+    (their W rows keep the previous group's finite values, and no
     pixel's one-hot selects them).
 
     Stage 2 runs in bf16: window values are u8-valued (<= 255, exact in
@@ -445,113 +476,136 @@ def _tile_kernel(meta_ref, perpx_ref, sel_ref, page_ref, out_ref, w_buf,
     from jax.experimental.pallas import tpu as pltpu
 
     STRIDE = 1 + NBLK * 2
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)
-    slot = jax.lax.rem(t, 2)
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
 
-    def block_dma(tile, buf_slot, b):
+    def block_dma(tile, buf_slot, ti, b):
         base = tile * STRIDE + 1 + b * 2
         r = pl.multiple_of(meta_ref[base], ROW_AL)
         c = pl.multiple_of(meta_ref[base + 1], 128)
         return pltpu.make_async_copy(
             page_ref.at[pl.ds(r, WIN_R), pl.ds(c, WIN_LANES)],
-            w_buf.at[buf_slot, pl.ds(b * WIN_R, WIN_R), :],
-            sem.at[buf_slot, b])
+            w_buf.at[buf_slot, pl.ds(ti * R_TOTAL + b * WIN_R, WIN_R),
+                     :],
+            sem.at[buf_slot, ti * NBLK + b])
 
-    def start_tile(tile, buf_slot):
-        n = meta_ref[tile * STRIDE]
-        for b in range(NBLK):
-            @pl.when(b < n)
-            def _():
-                block_dma(tile, buf_slot, b).start()
+    def start_group(grp, buf_slot):
+        for ti in range(TPS):
+            n = meta_ref[(grp * TPS + ti) * STRIDE]
+            for b in range(NBLK):
+                @pl.when(b < n)
+                def _():
+                    block_dma(grp * TPS + ti, buf_slot, ti, b).start()
 
-    @pl.when(t == 0)
+    @pl.when(g == 0)
     def _():
         # NaN-safety: VMEM scratch starts uninitialized; rows of slots
         # never DMA'd must still be FINITE for the masked matmul
         w_buf[...] = jnp.zeros_like(w_buf)
-        start_tile(0, 0)
+        start_group(0, 0)
 
-    @pl.when(t + 1 < nt)
+    @pl.when(g + 1 < ng)
     def _():
-        start_tile(t + 1, 1 - slot)
+        start_group(g + 1, 1 - slot)
 
-    n_cur = meta_ref[t * STRIDE]
-    for b in range(NBLK):
-        @pl.when(b < n_cur)
-        def _():
-            block_dma(t, slot, b).wait()
+    outs = []
+    for ti in range(TPS):
+        n_cur = meta_ref[(g * TPS + ti) * STRIDE]
+        for b in range(NBLK):
+            @pl.when(b < n_cur)
+            def _():
+                block_dma(g * TPS + ti, slot, ti, b).wait()
 
-    W = w_buf[slot]                                  # (R_TOTAL, WIN_LANES)
-    rI0 = perpx_ref[0, 0, :][:, None]                # (P, 1) f32
-    fv = perpx_ref[0, 1, :][:, None]
-    u0 = perpx_ref[0, 2, :][:, None]
-    fu = perpx_ref[0, 3, :][:, None]
+        W = w_buf[slot, ti * R_TOTAL:(ti + 1) * R_TOTAL, :]
+        rI0 = perpx_ref[0, ti * 4 + 0, :][:, None]   # (P, 1) f32
+        fv = perpx_ref[0, ti * 4 + 1, :][:, None]
+        u0 = perpx_ref[0, ti * 4 + 2, :][:, None]
+        fu = perpx_ref[0, ti * 4 + 3, :][:, None]
 
-    rIi = rI0.astype(jnp.int32)
-    iR = jax.lax.broadcasted_iota(jnp.int32, (1, R_TOTAL), 1)
-    U = ((iR == rIi).astype(jnp.float32) * (1.0 - fv)
-         + (iR == rIi + 1).astype(jnp.float32) * fv)
-    rowsel = jax.lax.dot_general(
-        U.astype(jnp.bfloat16), W, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,          # Mosaic: acc must
-        ).astype(jnp.bfloat16)                       # be 32-bit
-    #                                                  (P, WIN_LANES)
+        # Closed-form bilinear row/column weights:
+        # max(0, 1 - |iota - cf|) puts 1-frac on the floor index and
+        # frac on floor+1 (exact for frac in [0,1), no wrap — windows
+        # never wrap in-kernel), at half the VPU ops of the
+        # two-one-hot form.
+        iR = jax.lax.broadcasted_iota(
+            jnp.int32, (1, R_TOTAL), 1).astype(jnp.float32)
+        U = jnp.maximum(0.0, 1.0 - jnp.abs(iR - (rI0 + fv)))
+        rowsel = jax.lax.dot_general(
+            U.astype(jnp.bfloat16), W, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,      # Mosaic: acc must
+            ).astype(jnp.bfloat16)                   # be 32-bit
+        #                                              (P, WIN_LANES)
 
-    u0i = u0.astype(jnp.int32)
-    texel = (jax.lax.broadcasted_iota(jnp.int32, (1, WIN_LANES), 1)
-             // CH)
-    fub = fu.astype(jnp.bfloat16)
-    Vw = ((texel == u0i).astype(jnp.bfloat16) * (1 - fub)
-          + (texel == u0i + 1).astype(jnp.bfloat16) * fub)
-    tmp = rowsel * Vw                                # (P, WIN_LANES) bf16
+        texel = (jax.lax.broadcasted_iota(jnp.int32, (1, WIN_LANES), 1)
+                 // CH).astype(jnp.float32)
+        Vw = jnp.maximum(0.0, 1.0 - jnp.abs(texel - (u0 + fu))
+                         ).astype(jnp.bfloat16)
+        tmp = rowsel * Vw                            # (P, WIN_LANES) bf16
 
-    out = jax.lax.dot_general(
-        tmp, sel_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (P, OUT_PAD)
-    out_ref[0] = out.astype(jnp.bfloat16)
+        outs.append(jax.lax.dot_general(
+            tmp, sel_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))     # (P, OUT_SUB)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(jnp.bfloat16)
 
 
 def _channel_sel():
-    """(WIN_LANES, OUT_PAD) bf16 constant: lane l -> channel l % CH."""
+    """(WIN_LANES, OUT_SUB) bf16 constant: lane l -> channel l % CH."""
     lane = np.arange(WIN_LANES)[:, None]
-    chan = np.arange(OUT_PAD)[None, :]
+    chan = np.arange(OUT_SUB)[None, :]
     return ((lane % CH == chan) & (chan < CH)).astype(np.float32)
 
 
 def sample_atlas_page(page_arr, meta, perpx, *, interpret: bool = False):
     """Run the tile kernel.  page_arr (rows, cols) bf16; meta
-    (NT*(1+NBLK*2),) i32; perpx (NT, 4, P) f32 -> (NT, P, OUT_PAD) bf16
-    raw u8-valued channels on lanes 0..CH-1 (rest zero)."""
+    (NT*(1+NBLK*2),) i32; perpx (NT, 4, P) f32 -> (NT, P, OUT_SUB) bf16
+    raw u8-valued channels on lanes 0..CH-1 (rest zero).
+
+    NT is padded up to a multiple of TPS internally (padded tiles have
+    n_used=0 and all-zero per-pixel rows); the pad is sliced off the
+    return value."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NT = perpx.shape[0]
+    pad = (-NT) % TPS
+    if pad:
+        STRIDE = 1 + NBLK * 2
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((pad * STRIDE,), jnp.int32)])
+        perpx = jnp.concatenate(
+            [perpx, jnp.zeros((pad, 4, P), perpx.dtype)])
+    ntp = NT + pad
     sel = jnp.asarray(_channel_sel(), jnp.bfloat16)
     gspec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(NT,),
+        grid=(ntp // TPS,),
         in_specs=[
-            pl.BlockSpec((1, 4, P), lambda t, meta: (t, 0, 0),
+            pl.BlockSpec((1, TPS * 4, P), lambda t, meta: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             # constant block: fetched once, resident across steps
-            pl.BlockSpec((WIN_LANES, OUT_PAD), lambda t, meta: (0, 0),
+            pl.BlockSpec((WIN_LANES, OUT_SUB), lambda t, meta: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),       # page (HBM)
         ],
         out_specs=pl.BlockSpec((1, P, OUT_PAD), lambda t, meta: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, R_TOTAL, WIN_LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, NBLK)),
+            pltpu.VMEM((2, TPS * R_TOTAL, WIN_LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, TPS * NBLK)),
         ],
     )
-    return pl.pallas_call(
+    packed = pl.pallas_call(
         _tile_kernel,
         grid_spec=gspec,
-        out_shape=jax.ShapeDtypeStruct((NT, P, OUT_PAD), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((ntp // TPS, P, OUT_PAD),
+                                       jnp.bfloat16),
         interpret=interpret,
-    )(meta, perpx, sel, page_arr)
+    )(meta, perpx.reshape(ntp // TPS, TPS * 4, P), sel, page_arr)
+    # unpack the per-tile 32-lane stripes -> (NT, P, OUT_SUB)
+    out = packed.reshape(ntp // TPS, P, TPS, OUT_SUB).transpose(
+        0, 2, 1, 3).reshape(ntp, P, OUT_SUB)
+    return out[:NT]
 
 
 # ---------------------------------------------------------------------------

@@ -151,3 +151,29 @@ def test_frame_integration_pallas_vs_xla():
     b = np.asarray(out_x.color)
     assert np.abs(a - b).max() < 0.03, np.abs(a - b).max()
     assert np.abs(a - b).mean() < 0.002
+
+
+def test_planner_single_combo_tile_uses_one_slot():
+    """Efficiency tripwire for the run-length top-K: a tile whose every
+    pixel shares one (material, level) must plan exactly ONE window
+    slot and stay clean.  A planner regression here is value-invisible
+    (the fallback keeps outputs exact) but cost-visible: the duplicate
+    top-K bug measured dirty 440 -> 1295 / avg_slots 3.1 -> 6.6 on the
+    sponza 736p fields before this assertion existed."""
+    atlas = _toy_atlas(M=2, size=64)
+    page = _page_dev(atlas)
+    H = W = 32                               # 4 tiles, all single-combo
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    u = (xx + 0.5) / 64.0 * 2.0              # ~1 texel/px at level 1
+    v = (yy + 0.5) / 64.0 * 2.0
+    mid_t = texsample._tileize(jnp.zeros((H, W), jnp.int32), H, W)
+    u_t = texsample._tileize(jnp.asarray(u), H, W)
+    v_t = texsample._tileize(jnp.asarray(v), H, W)
+    lvl_t = texsample._tileize(jnp.ones((H, W), jnp.int32), H, W)
+    live_t = texsample._tileize(jnp.ones((H, W), bool), H, W)
+    perpx, dma, n_used, dirty = texsample._plan_tiles_impl(
+        mid_t, u_t, v_t, lvl_t, live_t, page.row0, page.col0,
+        size=atlas.size, n_levels=atlas.n_levels,
+        num_materials=atlas.num_materials)
+    assert not bool(np.asarray(dirty).any()), np.asarray(dirty)
+    np.testing.assert_array_equal(np.asarray(n_used), 1)

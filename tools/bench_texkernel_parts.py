@@ -183,6 +183,9 @@ def main():
     ap.add_argument("--scene", default="full")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
+    ap.add_argument("--fields", default="/tmp/texfields.npz",
+                    help="npz from tools/capture_texfields.py at the "
+                         "same scene/resolution")
     args = ap.parse_args()
 
     import jax
@@ -201,7 +204,7 @@ def main():
     plan = built.plan
     page = jax.device_put(built.batch.atlas_page)
 
-    d = np.load("/tmp/texfields.npz")
+    d = np.load(args.fields)
     mid = jnp.asarray(d["mid"]).reshape(-1)
     uv = jnp.stack([jnp.asarray(d["u"]).reshape(-1),
                     jnp.asarray(d["v"]).reshape(-1)])

@@ -14,22 +14,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timed(fn, *args, n=8, label=""):
+    """Device-side scan timing with carry perturbation (PERF.md): a
+    dispatch-per-rep loop was MEASURED to carry ~5 ms/rep of host/
+    tunnel overhead (an empty kernel 'cost' 5.5 ms), poisoning every
+    isolated number; the scan amortizes one dispatch + readback over n
+    reps.  args[0] must be a float array the computation depends on."""
     import jax
-    f = jax.jit(fn)
-    out = f(*args)
-    # block_until_ready is unreliable over the tunnel (PERF.md): force a
-    # float readback so warmup (incl. first-touch paging of the 358 MB
-    # page) completes before the timed loop
-    s = jax.tree_util.tree_reduce(
-        lambda a, x: a + x.sum().astype("float32"), out, 0.0)
-    float(s)
+    import jax.numpy as jnp
+
+    def runner(*a):
+        # a[] are jit ARGUMENTS — closing over device arrays would bake
+        # them into the computation as constants (the 66 MB atlas page
+        # blows the remote_compile request: HTTP 413)
+        def body(c, _):
+            out = fn(a[0] + c * 1e-30, *a[1:])
+            s = jax.tree_util.tree_reduce(
+                lambda acc, x: acc + x.sum().astype(jnp.float32), out,
+                jnp.float32(0.0))
+            return c + s * 1e-30, s
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=n)[1]
+
+    runj = jax.jit(runner)
+    float(runj(*args).sum())
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    s = jax.tree_util.tree_reduce(
-        lambda a, x: a + x.sum().astype("float32"), out, 0.0)
-    float(s)
-    ms = (time.perf_counter() - t0) * 1e3 / n
+    float(runj(*args).sum())
+    ms = (time.perf_counter() - t0 - 0.027) * 1e3 / n
     print(f"{label:28s} {ms:8.2f} ms", flush=True)
     return ms
 
@@ -82,29 +91,31 @@ def main():
                    plan.atlas_n_levels - 1)
     NT = mid_t.shape[0]
 
-    def plan_fn(mid_t, u_t, v_t, lvl, live_t):
+    # NOTE: timed() perturbs args[0] — every fn below takes a FLOAT
+    # array first so the perturbation doesn't die in an int cast
+    def plan_fn(u_t, mid_t, v_t, lvl, live_t):
         return ts._plan_tiles_impl(
             mid_t, u_t, v_t, lvl, live_t, page.row0, page.col0,
             size=plan.atlas_size, n_levels=plan.atlas_n_levels,
             num_materials=plan.atlas_num_materials)
 
     perpx, dma, n_used, dirty = jax.jit(plan_fn)(
-        mid_t, u_t, v_t, lvl, live_t)
+        u_t, mid_t, v_t, lvl, live_t)
     print(f"NT={NT} dirty={int(dirty.sum())} "
           f"avg_slots={float(n_used.mean()):.2f}", flush=True)
-    timed(plan_fn, mid_t, u_t, v_t, lvl, live_t, label="phase1 planning")
+    timed(plan_fn, u_t, mid_t, v_t, lvl, live_t, label="phase1 planning")
 
     n_used0 = jnp.where(dirty, 0, n_used)
     meta = jnp.concatenate(
         [n_used0[:, None], dma.reshape(NT, ts.NBLK * 2)],
         axis=1).reshape(-1).astype(jnp.int32)
 
-    def kern(page_arr, meta, perpx):
+    def kern(perpx, page_arr, meta):
         return ts.sample_atlas_page(page_arr, meta, perpx,
                                     interpret=False)
-    timed(kern, page.page, meta, perpx, label="pallas kernel")
+    timed(kern, perpx, page.page, meta, label="pallas kernel")
 
-    def full(page, atlas_packed, mid, uv, lod, live):
+    def full(uv, page, atlas_packed, mid, lod, live):
         return ts.sample_atlas_tiled(
             page, mid, uv, lod, live, atlas_packed,
             size=plan.atlas_size, n_levels=plan.atlas_n_levels,
@@ -112,17 +123,17 @@ def main():
             layer_stride=plan.atlas_layer_stride,
             filter_mode="bilinear", dirty_cap=plan.tex_dirty_cap,
             interpret=False, H=H, W=W)
-    timed(full, page, atlas_packed, mid, uv, lod, live,
+    timed(full, uv, page, atlas_packed, mid, lod, live,
           label="full sample_atlas_tiled")
 
     from soc_real_time_renderer_tpu.ops import gbuffer as gb
 
-    def xla_tap(atlas_packed, mid, uv, lod):
+    def xla_tap(uv, atlas_packed, mid, lod):
         return gb.sample_packed_atlas(
             atlas_packed, mid, uv, lod,
             size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
             n_levels=plan.atlas_n_levels, filter_mode="bilinear")
-    timed(xla_tap, atlas_packed, mid, uv,
+    timed(xla_tap, uv, atlas_packed, mid,
           jnp.clip(lod, 0, plan.atlas_n_levels - 1),
           label="XLA gather tap (old path)")
 

@@ -26,9 +26,27 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--config", type=int, default=0,
+                    help="use BASELINE config N's scene + flags "
+                         "(overrides --scene/--width/--height)")
     ap.add_argument("--toggles", default=(
         "shadows,ssao,bloom,clouds,taa,auto_exposure,hiz,ssao_xla"))
     args = ap.parse_args()
+
+    # BASELINE.json presets (keep in sync with tools/bench_baselines.py)
+    PRESETS = {
+        1: ("helmet", dict(width=640, height=384, shadow_resolution=1024,
+                           enable_ssao=False, enable_bloom=False,
+                           enable_clouds=False, enable_taa=False,
+                           enable_auto_exposure=False, enable_hiz=False)),
+        2: ("helmet", dict(width=1280, height=736, shadow_resolution=4096,
+                           enable_bloom=False, enable_clouds=False,
+                           enable_taa=False, enable_auto_exposure=False,
+                           enable_hiz=False)),
+        3: ("sponza", dict(width=1280, height=736)),
+        4: ("terrain", dict(width=1920, height=1088)),
+        5: ("full", dict(width=1920, height=1088)),
+    }
 
     import dataclasses
 
@@ -43,8 +61,12 @@ def main():
     from soc_real_time_renderer_tpu.config import RenderConfig
     from soc_real_time_renderer_tpu.graph import frame as frame_mod
 
-    built = scenes.build(
-        args.scene, RenderConfig(width=args.width, height=args.height))
+    if args.config:
+        scene_name, kw = PRESETS[args.config]
+        built = scenes.build(scene_name, RenderConfig(**kw))
+    else:
+        built = scenes.build(
+            args.scene, RenderConfig(width=args.width, height=args.height))
     # the scene build tunes the config (static scene-true light counts,
     # terrain toggle); variants MUST derive from the tuned config or the
     # baseline silently reverts to 128+128 empty light scans (~220 ms

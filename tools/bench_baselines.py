@@ -16,6 +16,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--only", type=int, default=0, help="run one config")
+    ap.add_argument("--filter", default="",
+                    help="override FramePlan.texture_filter "
+                         "(bilinear/trilinear A/B, VERDICT r2 item 4)")
     args = ap.parse_args()
 
     import dataclasses
@@ -65,6 +68,8 @@ def main():
         cfg = RenderConfig(**kw)
         built = scenes.build(scene, cfg)
         plan = built.plan
+        if args.filter:
+            plan = dataclasses.replace(plan, texture_filter=args.filter)
         cfg = plan.config
         gs = []
         for i in range(args.frames):

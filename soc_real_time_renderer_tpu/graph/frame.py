@@ -207,14 +207,19 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                  model_mats, normal_mats):
     """Geometry half of the frame: vertex transform + the Pallas raster
     views (T1 main visibility + T4 shadow) + per-triangle shading
-    records.  Under multi-chip SPMD this stage is replicated (triangle
-    counts are small next to pixel counts); everything downstream
-    (:func:`shade_stage`) partitions over image rows."""
+    records.  Under multi-chip SPMD the setup/binning (per-triangle,
+    tiny next to pixel counts) is replicated but the resolve — the
+    pixel×triangle coverage work, i.e. the raster COST — splits over
+    bin rows (raster2.resolve_row_sharded), so raster latency scales
+    with devices like the rest of the frame."""
     cfg = plan.config
+    shard = ((plan.shard_mesh, plan.shard_axis)
+             if plan.shard_mesh is not None and plan.shard_axis is not None
+             else None)
     world, wnrm = transform_triangles(batch, model_mats, normal_mats)
     clip = _clip_of(world, g.camera.projection_view)
     vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
-                                   interpret=plan.interpret)
+                                   interpret=plan.interpret, shard=shard)
 
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
@@ -222,7 +227,7 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     if cfg.enable_shadows and not plan.shadow_statically_empty:
         sclip = _clip_of(world, g.sun.projection_view)
         svis, _ = raster2.rasterize(sclip, plan.shadow_grid, cull="back",
-                                    interpret=plan.interpret)
+                                    interpret=plan.interpret, shard=shard)
         shadow_map = svis.depth
         overflow = overflow | svis.overflow
 

@@ -248,7 +248,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
             # replicated).  Band-local tiling regroups pixels into
             # different windows than the global tiling would, but the
             # sampled VALUE is per-pixel exact either way.
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             mesh, axis = shard
             n = mesh.shape[axis]
@@ -281,7 +281,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
             tex, tex_overflow = shard_map(
                 _band, mesh=mesh,
                 in_specs=(rows2, rows3, rows2, rows2, P(), P()),
-                out_specs=(rows3, P()), check_rep=False)(
+                out_specs=(rows3, P()), check_vma=False)(
                 mid.reshape(H, W), uv.reshape(2, H, W),
                 lod.reshape(H, W), (~miss).reshape(H, W),
                 atlas, atlas_page)

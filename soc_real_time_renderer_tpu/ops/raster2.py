@@ -335,8 +335,8 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
 # ---------------------------------------------------------------------------
 
 
-def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
-                    scratch, sem):
+def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
+                    depth_ref, id_ref, scratch, sem):
     bw, bh, G, K = grid.bw, grid.bh, grid.group, grid.chunk
     BX = grid.bx
     P = bw * bh
@@ -344,7 +344,13 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
     PSUB = min(P, 1024)
     NSUB = P // PSUB
     rows_per_sub = PSUB // bw
-    gy = pl.program_id(0)
+    # row0 is the GLOBAL bin row of this kernel's first grid row: 0 on a
+    # single chip; band_index * rows_per_band under row-sharded SPMD
+    # (resolve_row_sharded).  Offsetting gy is the whole multi-chip
+    # story — b indexes the replicated global starts table and oy places
+    # the band's pixels at their global screen y for the edge
+    # functionals; output refs stay band-local.
+    gy = pl.program_id(0) + row0_ref[0]
     gx = pl.program_id(1)
 
     pix = jax.lax.broadcasted_iota(jnp.int32, (PSUB, 1), 0)
@@ -436,19 +442,26 @@ def _resolve_kernel(grid: BinGrid, starts_ref, recs_ref, depth_ref, id_ref,
                 ib.reshape(rows_per_sub, bw))
 
 
-def resolve(starts, recs, grid: BinGrid, interpret: bool = False):
+def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
+            row0=None):
     """Pallas bin resolve -> (depth (H', W'), tri_id (H', W')), padded
-    to the bin grid (caller crops to the viewport)."""
+    to the bin grid (caller crops to the viewport).
+
+    `row0` (optional (1,) i32): global bin-row offset of this call's
+    first bin row — used by resolve_row_sharded, where `grid` describes
+    one device's band but `starts` is the global table."""
     bw, bh, G = grid.bw, grid.bh, grid.group
     BY, BX = grid.by, grid.bx
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
     gspec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(BY, BX // G),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts: (gy, gx),
+            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts, row0: (gy, gx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts: (gy, gx),
+            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts, row0: (gy, gx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
@@ -460,20 +473,62 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False):
                    jax.ShapeDtypeStruct((BY * bh, BX * bw), jnp.int32)),
         grid_spec=gspec,
         interpret=interpret,
-    )(starts, recs)
+    )(starts, row0, recs)
     return depth, tid
 
 
+def resolve_row_sharded(starts, recs, grid: BinGrid, mesh, axis: str,
+                        interpret: bool = False):
+    """Resolve with bin ROWS split over a device mesh axis (SURVEY §2.6
+    P6): each device DMAs and evaluates only its band's record chunks,
+    so raster latency scales with devices instead of replicating.  The
+    pair stream + starts table stay replicated — they are tiny next to
+    the pixel×triangle coverage work (the resolve cost), exactly like
+    the geometry "weights".  Outputs land row-band-sharded, the layout
+    shade_stage pins anyway, so no resharding collective follows on the
+    band boundaries.  `grid.by` must be a multiple of the axis size
+    (rasterize pads the bin grid)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    assert grid.by % n == 0, (grid.by, n)
+    BYs = grid.by // n
+    band_grid = dataclasses.replace(grid, height=BYs * grid.bh)
+
+    def per_shard(starts_l, recs_l):
+        row0 = jnp.reshape(jax.lax.axis_index(axis) * BYs,
+                           (1,)).astype(jnp.int32)
+        return resolve(starts_l, recs_l, band_grid, interpret=interpret,
+                       row0=row0)
+
+    return shard_map(per_shard, mesh=mesh, in_specs=(P(), P()),
+                     out_specs=(P(axis, None), P(axis, None)),
+                     check_vma=False)(starts, recs)
+
+
 def rasterize(clip, grid: BinGrid, cull: str = "front",
-              interpret: bool | None = None
+              interpret: bool | None = None, shard=None
               ) -> tuple[VisibilityBuffer, PlanarSetup]:
     """Full raster: clip (3 verts, 4 comps, T) planar clip positions
     (models/scene_batch.py layout) -> visibility buffer.
+
+    shard: optional (mesh, axis_name) — resolve bin rows split over the
+    mesh axis (resolve_row_sharded); setup/binning stay replicated.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     T = clip.shape[2]
+    vh, vw = grid.height, grid.width
     setup = triangle_setup_planar(clip, grid.width, grid.height, cull)
+    if shard is not None:
+        # pad the bin grid to a shard multiple of bin rows; bboxes were
+        # clamped to the true viewport above, so padded rows get no
+        # pairs (their bins resolve to the 1.0/-1 clear and are cropped)
+        mesh, axis = shard
+        n_sh = mesh.shape[axis]
+        BYp = _cdiv(grid.by, n_sh) * n_sh
+        grid = dataclasses.replace(grid, height=BYp * grid.bh)
     starts, sorted_tids, overflow = build_pairs(setup, grid)
     records = build_records(setup)
     # effective record width: the sorted pair stream S can be shorter
@@ -486,9 +541,13 @@ def rasterize(clip, grid: BinGrid, cull: str = "front",
     if recs.shape[1] < cap:
         recs = jnp.pad(recs, ((0, 0), (0, cap - recs.shape[1])))
     rgrid = dataclasses.replace(grid, pair_cap=cap)
-    depth, tid = resolve(starts, recs, rgrid, interpret=interpret)
-    vis = VisibilityBuffer(depth=depth[:grid.height, :grid.width],
-                           tri_id=tid[:grid.height, :grid.width],
+    if shard is None:
+        depth, tid = resolve(starts, recs, rgrid, interpret=interpret)
+    else:
+        depth, tid = resolve_row_sharded(starts, recs, rgrid, mesh, axis,
+                                         interpret=interpret)
+    vis = VisibilityBuffer(depth=depth[:vh, :vw],
+                           tri_id=tid[:vh, :vw],
                            overflow=overflow)
     return vis, setup
 

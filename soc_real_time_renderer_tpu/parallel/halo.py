@@ -66,7 +66,7 @@ def row_band_call(mesh, axis: str, fn, imgs, rep_args=(), *,
     traced GLOBAL row of the padded band's first row (may be negative
     on shard 0).  Outputs are cropped to the band and reassembled.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis]
     in_specs = jax.tree_util.tree_map(
@@ -98,4 +98,4 @@ def row_band_call(mesh, axis: str, fn, imgs, rep_args=(), *,
     return shard_map(per_shard, mesh=mesh,
                      in_specs=(in_specs, rep_specs),
                      out_specs=out_specs,
-                     check_rep=False)(imgs, rep_args)
+                     check_vma=False)(imgs, rep_args)

@@ -12,6 +12,7 @@ Three properties the dryrun alone can't pin:
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -123,6 +124,63 @@ def test_sharded_production_pallas_kernels():
     shard_shapes = {s.data.shape for s in color.addressable_shards}
     assert shard_shapes == {(3, cfg.height // 2, cfg.width)}, shard_shapes
     np.testing.assert_allclose(np.asarray(color), ref, atol=1e-4)
+
+
+def test_sharded_raster_resolve_row_bands(built):
+    """The raster RESOLVE (the pixel×triangle coverage work) splits over
+    bin rows under SPMD with row-band output shards
+    (raster2.resolve_row_sharded).  This is the P6 item the round-2
+    verdict flagged: the geometry stage's cost must scale with devices,
+    not replicate.  Two pins: (a) the full raster_stage matches the
+    single-device stage to float tolerance (the replicated setup math
+    compiles with different fusion under SPMD, so edge pixels whose
+    depths tie within ~4e-6 may flip tri_id — bounded below); (b) the
+    resolve kernel itself, fed the SAME starts/record arrays, is
+    bit-identical to the unsharded resolve."""
+    from soc_real_time_renderer_tpu.ops import raster2
+
+    mesh = pmesh.make_mesh(8, dp=1)
+    plan = dataclasses.replace(built.plan, shard_mesh=mesh,
+                               shard_axis="sp")
+    g, mm, nm = built.frame_globals(1)
+
+    vis_ref, *_ = frame_mod.raster_stage(built.plan, built.batch, g, mm, nm)
+    with mesh:
+        vis_sh, *_ = jax.jit(lambda *a: frame_mod.raster_stage(plan, *a))(
+            built.batch, g, mm, nm)
+        np.testing.assert_allclose(np.asarray(vis_sh.depth),
+                                   np.asarray(vis_ref.depth), atol=2e-5)
+        flips = (np.asarray(vis_sh.tri_id)
+                 != np.asarray(vis_ref.tri_id)).mean()
+        assert flips < 0.005, f"tri_id flips on {flips:.2%} of pixels"
+
+    # the uncropped resolve output must be genuinely row-band sharded
+    grid = built.plan.main_grid
+    setup = raster2.triangle_setup_planar(
+        frame_mod._clip_of(frame_mod.transform_triangles(
+            built.batch, mm, nm)[0], g.camera.projection_view),
+        grid.width, grid.height, "front")
+    import dataclasses as dc
+    BYp = -(-grid.by // 8) * 8
+    grid_p = dc.replace(grid, height=BYp * grid.bh)
+    starts, st, _ = raster2.build_pairs(setup, grid_p)
+    recs = raster2.build_records(setup)
+    T = built.batch.num_triangles
+    S = st.shape[0]
+    cap = min(grid_p.pair_cap, -(-S // grid_p.chunk) * grid_p.chunk)
+    rstream = recs[:, jnp.minimum(st[:min(S, cap)], T)]
+    if rstream.shape[1] < cap:
+        rstream = jnp.pad(rstream, ((0, 0), (0, cap - rstream.shape[1])))
+    rgrid = dc.replace(grid_p, pair_cap=cap)
+    d_ref, t_ref = raster2.resolve(starts, rstream, rgrid, interpret=True)
+    with mesh:
+        d_sh, t_sh = jax.jit(lambda s, r: raster2.resolve_row_sharded(
+            s, r, rgrid, mesh, "sp", interpret=True))(starts, rstream)
+        shard_shapes = {s.data.shape for s in d_sh.addressable_shards}
+        np.testing.assert_array_equal(np.asarray(d_sh), np.asarray(d_ref))
+        np.testing.assert_array_equal(np.asarray(t_sh), np.asarray(t_ref))
+    assert shard_shapes == {(BYp // 8 * grid.bh, grid.bx * grid.bw)}, \
+        shard_shapes
 
 
 def test_sharded_shade_distributes_rows(built):

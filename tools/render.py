@@ -39,6 +39,13 @@ def main():
     import numpy as np
     import jax
 
+    if args.platform:
+        # The axon sitecustomize pins jax_platforms to the tunneled TPU
+        # regardless of the env var; without this override --platform cpu
+        # still initializes the axon backend (and hangs if the tunnel is
+        # down).  Same workaround as tests/conftest.py.
+        jax.config.update("jax_platforms", args.platform)
+
     from soc_real_time_renderer_tpu import scenes
     from soc_real_time_renderer_tpu.config import RenderConfig
     from soc_real_time_renderer_tpu.graph import frame as frame_mod

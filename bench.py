@@ -30,6 +30,9 @@ def main():
     import numpy as np
 
     from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.utils import compile_cache
+
+    compile_cache.enable()
     from soc_real_time_renderer_tpu.config import RenderConfig
     from soc_real_time_renderer_tpu.graph import frame as frame_mod
 

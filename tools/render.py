@@ -47,6 +47,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from soc_real_time_renderer_tpu import scenes
+    from soc_real_time_renderer_tpu.utils import compile_cache
+
+    compile_cache.enable()
     from soc_real_time_renderer_tpu.config import RenderConfig
     from soc_real_time_renderer_tpu.graph import frame as frame_mod
     from soc_real_time_renderer_tpu.utils import image_io

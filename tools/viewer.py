@@ -19,6 +19,9 @@ def main():
     from soc_real_time_renderer_tpu.config import RenderConfig
     from soc_real_time_renderer_tpu.graph import frame as frame_mod
     from soc_real_time_renderer_tpu.ui import server
+    from soc_real_time_renderer_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        shadow_resolution=1024)

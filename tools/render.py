@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="helmet",
-                    choices=["helmet", "sponza", "terrain", "full"])
+                    choices=["helmet", "sponza", "terrain", "full",
+                             "helmet_lifted"])
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--frames", type=int, default=1)

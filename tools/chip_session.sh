@@ -42,7 +42,8 @@ step() { # name timeout_s cmd...
 }
 
 all_done() {
-    for n in verify_chip bl1 bl2 bl3 bl4 bl5 bl6 bl7 tri3 tri5 bench; do
+    for n in verify_chip bl1 bl2 bl3 bl4 bl5 bl6 bl7 tri3 tri5 \
+             toggle3 toggle5 bench; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -67,6 +68,10 @@ while ! all_done; do
         --filter trilinear || continue
     step tri5 1800 python tools/bench_baselines.py --frames 16 --only 5 \
         --filter trilinear || continue
+    # in-frame per-pass attribution for the two gated configs — tells
+    # round 3/4 where the next ms actually are
+    step toggle3 2400 python tools/bench_toggle.py --config 3 || continue
+    step toggle5 3000 python tools/bench_toggle.py --config 5 || continue
     step bench 1800 python bench.py || continue
 done
 echo "chip session COMPLETE $(date +%T)" | tee -a "$LOG/session.log"

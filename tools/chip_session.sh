@@ -42,8 +42,8 @@ step() { # name timeout_s cmd...
 }
 
 all_done() {
-    for n in verify_chip bl1 bl2 bl3 bl4 bl5 bl6 bl7 tri3 tri5 \
-             toggle3 toggle5 bench; do
+    for n in verify_chip verify_assert bl1 bl2 bl3 bl4 bl5 bl6 bl7 \
+             tri3 tri5 toggle3 toggle5 bench; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -60,6 +60,10 @@ while ! all_done; do
     # subsequent runs compare (the .ok marker makes this one-shot here;
     # re-run verify_chip manually without --update to assert).
     step verify_chip 3000 python tools/verify_chip.py --update || continue
+    # assert against the goldens just written (fast via the compile
+    # cache): proves run-to-run determinism on the chip and exercises
+    # the compare path end-to-end
+    step verify_assert 1800 python tools/verify_chip.py || continue
     for n in 1 2 3 4 5 6 7; do
         step "bl$n" 1800 python tools/bench_baselines.py --frames 16 \
             --only "$n" || break

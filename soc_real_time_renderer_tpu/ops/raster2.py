@@ -553,4 +553,4 @@ def rasterize(clip, grid: BinGrid, cull: str = "front",
 
 
 rasterize_jit = jax.jit(rasterize, static_argnames=("grid", "cull",
-                                                    "interpret"))
+                                                    "interpret", "shard"))

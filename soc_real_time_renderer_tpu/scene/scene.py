@@ -106,10 +106,17 @@ class Scene:
 
     # -- mesh gathering ---------------------------------------------------
     def mesh_entities(self):
-        """Entities with Transform + Mesh, in creation order."""
+        """Entities with Transform + a LOADED Mesh, in creation order.
+
+        Skipping ``model is None`` keeps the transform-matrix stack in
+        1:1 correspondence with ``build_scene_batch``'s model list — a
+        freshly added (not yet assigned) MeshComponent contributes
+        nothing until a model is set, matching the reference's empty
+        mesh draw."""
         out = []
         for eid, comps in self._components.items():
-            if MeshComponent in comps and TransformComponent in comps:
+            if MeshComponent in comps and TransformComponent in comps \
+                    and comps[MeshComponent].model is not None:
                 out.append(Entity(eid, self))
         return out
 

@@ -57,6 +57,32 @@ class BuiltScene:
             self.animate = False
         self._fly.update(inp, dt)
 
+    def mesh_signature(self):
+        """Identity of the renderable mesh set — changes exactly when a
+        batch rebuild is needed (entity with a loaded mesh added or
+        removed, or a model swapped)."""
+        return tuple((e.eid, id(e.get_component(MeshComponent).model))
+                     for e in self.scene.mesh_entities())
+
+    def rebuild(self) -> None:
+        """Re-pack the SceneBatch/FramePlan from the LIVE scene (the
+        analog of the reference loading a model into a new entity and
+        drawing it next frame).  Keeps camera/fly state; the caller
+        re-jits with make_render_fn(self.plan) (persistent compile
+        cache makes repeat shapes cheap).  No-op when the scene has no
+        renderable meshes (an empty batch has no triangle stream)."""
+        models = [e.get_component(MeshComponent).model
+                  for e in self.scene.mesh_entities()]
+        if not models:
+            return
+        nb = _finish(self.scene, models, self.plan.config,
+                     camera_pos=self.camera_position,
+                     camera_target=self.camera_target,
+                     animate=self.animate,
+                     atlas_size=self.plan.atlas_size)
+        self.batch = nb.batch
+        self.plan = nb.plan
+
     def frame_globals(self, frame_index: int, dt: float = 1.0 / 60.0):
         """Per-frame host update: camera/jitter/lights/transforms —
         Application::update + Scene::update analog."""
@@ -208,6 +234,20 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
                       camera_position=np.asarray(camera_pos, np.float32),
                       camera_target=np.asarray(camera_target, np.float32),
                       animate=animate)
+
+
+_DEFAULT_MODEL = None
+
+
+def default_model():
+    """DamagedHelmet ModelData, lazily loaded once — what the viewer's
+    add-MeshComponent menu assigns so a created entity is immediately
+    renderable (application.cpp:22-28 model)."""
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        _DEFAULT_MODEL = gltf.load_model(
+            os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
+    return _DEFAULT_MODEL
 
 
 def build_helmet(config: RenderConfig) -> BuiltScene:

@@ -26,9 +26,13 @@ _ADDABLE = {
 
 
 class SceneHiearchyPanel:
-    def __init__(self, scene: Scene):
+    def __init__(self, scene: Scene, model_loader=None):
         self.scene = scene
         self.selected: int | None = None
+        # called when a MeshComponent is added so the entity is
+        # immediately renderable (the reference's add-mesh workflow);
+        # None leaves model unset (entity contributes nothing)
+        self.model_loader = model_loader
 
     # -- queries ----------------------------------------------------------
     def tree(self):
@@ -77,7 +81,10 @@ class SceneHiearchyPanel:
             self.selected = None
 
     def add_component(self, eid: int, type_name: str):
-        Entity(eid, self.scene).add_component(_ADDABLE[type_name]())
+        comp = Entity(eid, self.scene).add_component(_ADDABLE[type_name]())
+        if isinstance(comp, MeshComponent) and self.model_loader:
+            comp.model = self.model_loader()
+        return comp
 
     def set_property(self, eid: int, comp_name: str, prop: str, value):
         comps = self.scene._components[eid]

@@ -8,8 +8,11 @@ have no display, so the interactive loop is a tiny stdlib HTTP server:
 * ``GET /frame.jpg`` — latest rendered frame;
 * ``POST /input``    — WASD/mouse deltas (ControlledCamera3D input);
 * ``GET /schema``    — settings panels + scene hierarchy JSON;
-* ``POST /set``      — mutate a ShaderGlobals param or a component
-  property (the ImGui slider write-through);
+* ``POST /set``      — mutate a ShaderGlobals param (the ImGui slider
+  write-through);
+* ``POST /scene``    — scene hierarchy mutations (select/create/destroy
+  entity, add component, set component property); mesh-set changes
+  trigger a live batch rebuild between frames;
 * ``GET /metrics``   — per-pass timing JSON (the GPUMetric HUD).
 
 Run: ``python tools/viewer.py --scene helmet --port 8000``.
@@ -69,8 +72,42 @@ async function panels(){
    p.appendChild(row);
   }}
  const h=document.createElement('h4');h.innerText='scene';p.appendChild(h);
- for(const r of s.scene.roots){const n=s.scene.nodes[r];
-  const d=document.createElement('div');d.innerText='\\u2022 '+n.tag;p.appendChild(d)}
+ const sc=async(b)=>{await fetch('/scene',{method:'POST',body:JSON.stringify(b)});panels()};
+ const addNode=(id,depth)=>{const n=s.scene.nodes[id];
+  const d=document.createElement('div');d.className='row';
+  const t=document.createElement('span');
+  t.innerText='\\u00a0'.repeat(depth*2)+'\\u2022 '+n.tag;
+  if(n.selected)t.style.color='#8cf';
+  t.style.cursor='pointer';t.onclick=()=>sc({op:'select',id:id});
+  d.appendChild(t);
+  const x=document.createElement('span');x.innerText='\\u2715';
+  x.style.cursor='pointer';x.onclick=()=>sc({op:'destroy',id:id});
+  d.appendChild(x);p.appendChild(d);
+  for(const ch of n.children)addNode(ch,depth+1)};
+ for(const r of s.scene.roots)addNode(r,0);
+ const nb=document.createElement('button');nb.innerText='+ entity';
+ nb.onclick=()=>sc({op:'create',name:'new entity'});p.appendChild(nb);
+ if(s.selected!=null){
+  const ch=document.createElement('h4');ch.innerText='components';p.appendChild(ch);
+  for(const[cn,props]of Object.entries(s.components)){
+   if(cn=='_addable')continue;
+   const hh=document.createElement('div');hh.innerText=cn;hh.style.color='#fc8';
+   p.appendChild(hh);
+   for(const[pn,tv]of Object.entries(props)){
+    const row=document.createElement('div');row.className='row';
+    const lab=document.createElement('span');lab.innerText=pn;row.appendChild(lab);
+    const vals=Array.isArray(tv[1])?tv[1]:[tv[1]];
+    vals.forEach((v,i)=>{const inp=document.createElement('input');
+     inp.value=typeof v=='number'?+v.toPrecision(5):v;
+     inp.onchange=()=>{const nv=vals.map((x,j)=>j==i?parseFloat(inp.value):x);
+      sc({op:'set_property',id:s.selected,component:cn,prop:pn,
+          value:Array.isArray(tv[1])?nv:nv[0]})};
+     row.appendChild(inp)});
+    p.appendChild(row)}}
+  for(const an of (s.components._addable||[])){
+   const ab=document.createElement('button');ab.innerText='+ '+an;
+   ab.onclick=()=>sc({op:'add_component',id:s.selected,type:an});
+   p.appendChild(ab)}}
  const m=document.createElement('pre');m.id='metrics';p.appendChild(m);
  setInterval(async()=>{m.innerText=JSON.stringify(await (await fetch('/metrics')).json(),null,1)},2000);
 }
@@ -88,6 +125,7 @@ class ViewerState:
         self.frame_index = 1
         self.metrics = {}
         self.overrides = {}
+        self.needs_rebuild = False
         self.lock = threading.Lock()
 
 
@@ -103,10 +141,19 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
     from collections import deque
     from ..utils.image_io import to_srgb_u8
     from PIL import Image
+    from ..graph import frame as frame_mod
     dt = 1.0 / 60.0
     queue = deque()       # (dispatch_time, outputs) oldest-first
     last_present = time.perf_counter()
     while True:
+        if state.needs_rebuild:
+            queue.clear()                     # drop in-flight old-batch frames
+            with state.lock:
+                state.built.rebuild()         # re-pack batch from live scene
+                state.render_fn = frame_mod.make_render_fn(state.built.plan)
+                state.history = frame_mod.RenderHistory.create(
+                    state.built.plan.config)
+                state.needs_rebuild = False
         with state.lock:
             g, mm, nm = state.built.frame_globals(state.frame_index, dt)
             g = _apply_overrides(g, state.overrides)
@@ -176,6 +223,15 @@ def _apply_overrides(g, overrides):
     return dataclasses.replace(g, **gkw) if gkw else g
 
 
+def _jsonable(v):
+    """np arrays/scalars in ui_schema values -> plain JSON."""
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    raise TypeError(type(v))
+
+
 def make_handler(state: ViewerState, panel):
     from ..camera import InputState
     from . import widgets
@@ -199,8 +255,12 @@ def make_handler(state: ViewerState, panel):
                     g, _, _ = state.built.frame_globals(state.frame_index)
                     g = _apply_overrides(g, state.overrides)
                     data = {"settings": widgets.settings_schema(g),
-                            "scene": panel.tree()}
-                self._send(json.dumps(data).encode())
+                            "scene": panel.tree(),
+                            "selected": panel.selected,
+                            "components": (
+                                panel.components_schema(panel.selected)
+                                if panel.selected is not None else {})}
+                self._send(json.dumps(data, default=_jsonable).encode())
             elif self.path.startswith("/metrics"):
                 self._send(json.dumps(state.metrics).encode())
             else:
@@ -228,6 +288,29 @@ def make_handler(state: ViewerState, panel):
                 with state.lock:
                     state.overrides[(body["section"], body["name"])] = \
                         body["value"]
+            elif self.path.startswith("/scene"):
+                # scene hierarchy mutations (scene_hiearchy_panel.cpp
+                # context-menu ops).  Mutations that change the
+                # renderable mesh set flag a batch rebuild, which the
+                # render loop applies between frames — the reference's
+                # load-model-into-new-entity workflow.
+                op = body.get("op")
+                with state.lock:
+                    before = state.built.mesh_signature()
+                    if op == "select":
+                        panel.select(body.get("id"))
+                    elif op == "create":
+                        panel.create_entity(body.get("name",
+                                                     "empty entity"))
+                    elif op == "destroy":
+                        panel.destroy_entity(body["id"])
+                    elif op == "add_component":
+                        panel.add_component(body["id"], body["type"])
+                    elif op == "set_property":
+                        panel.set_property(body["id"], body["component"],
+                                           body["prop"], body["value"])
+                    if state.built.mesh_signature() != before:
+                        state.needs_rebuild = True
             self._send(b"{}")
 
     return Handler
@@ -235,8 +318,10 @@ def make_handler(state: ViewerState, panel):
 
 def serve(built, render_fn, history, port: int = 8000):
     from .scene_panel import SceneHiearchyPanel
+    from .. import scenes
     state = ViewerState(built, render_fn, history, None)
-    panel = SceneHiearchyPanel(built.scene)
+    panel = SceneHiearchyPanel(built.scene,
+                               model_loader=scenes.default_model)
     t = threading.Thread(target=render_loop, args=(state,), daemon=True)
     t.start()
     server = ThreadingHTTPServer(("0.0.0.0", port),

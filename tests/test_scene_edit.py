@@ -1,0 +1,110 @@
+"""Live scene editing: the viewer's create-entity → add-mesh → render
+workflow (scene_hiearchy_panel.cpp context-menu ops + the reference's
+load-model-into-new-entity behavior).
+
+Pins the three pieces the HTTP layer composes:
+ * panel mutations change the ECS and the mesh signature exactly when
+   the renderable set changes;
+ * BuiltScene.rebuild() re-packs the batch so the new entity's
+   triangles actually enter the frame;
+ * a frame renders end-to-end after the rebuild and differs from the
+   pre-edit frame.
+"""
+import dataclasses
+
+import numpy as np
+
+from soc_real_time_renderer_tpu import scenes
+from soc_real_time_renderer_tpu.config import RenderConfig
+from soc_real_time_renderer_tpu.graph import frame as frame_mod
+from soc_real_time_renderer_tpu.scene.components import (MeshComponent,
+                                                         TransformComponent)
+from soc_real_time_renderer_tpu.ui.scene_panel import SceneHiearchyPanel
+
+CFG = RenderConfig(width=128, height=128, shadow_resolution=128,
+                   enable_ssao=False, enable_bloom=False,
+                   enable_clouds=False, enable_taa=False,
+                   enable_auto_exposure=False, enable_hiz=False)
+
+
+def _small_caps(b):
+    b.plan = dataclasses.replace(
+        b.plan,
+        main_grid=dataclasses.replace(b.plan.main_grid,
+                                      pair_cap=65536, med_cap=1024),
+        shadow_grid=dataclasses.replace(b.plan.shadow_grid,
+                                        pair_cap=65536, med_cap=1024),
+        interpret=True)
+    return b
+
+
+def _render_one(b):
+    render = frame_mod.make_render_fn(b.plan)
+    g, mm, nm = b.frame_globals(1)
+    out, _ = render(b.batch, g,
+                    frame_mod.RenderHistory.create(b.plan.config), mm, nm)
+    return np.asarray(out.color)
+
+
+def test_add_mesh_entity_rebuild_renders():
+    built = _small_caps(scenes.build("helmet", CFG))
+    panel = SceneHiearchyPanel(built.scene,
+                               model_loader=scenes.default_model)
+    t0 = built.batch.num_triangles
+    sig0 = built.mesh_signature()
+    frame0 = _render_one(built)
+
+    eid = panel.create_entity("second helmet")
+    panel.select(eid)
+    # an entity without a loaded mesh must NOT change the signature
+    assert built.mesh_signature() == sig0
+    panel.add_component(eid, "TransformComponent")
+    panel.set_property(eid, "TransformComponent", "position",
+                       [1.2, 0.0, 0.0])
+    comp = panel.add_component(eid, "MeshComponent")
+    assert comp.model is not None, "model_loader must assign a model"
+    assert built.mesh_signature() != sig0
+
+    built.rebuild()
+    built = _small_caps(built)          # rebuild resets plan caps
+    assert built.batch.num_triangles == 2 * t0
+    mm, _ = built.scene.transform_matrices()
+    assert mm.shape[0] == 2
+
+    frame1 = _render_one(built)
+    assert frame1.shape == frame0.shape
+    assert np.abs(frame1 - frame0).max() > 0.01, \
+        "added mesh must change the rendered frame"
+
+    # destroy restores the original batch
+    panel.destroy_entity(eid)
+    assert built.mesh_signature() == sig0
+    built.rebuild()
+    assert built.batch.num_triangles == t0
+
+
+def test_components_schema_roundtrip_json():
+    import json
+
+    from soc_real_time_renderer_tpu.ui.server import _jsonable
+    built = _small_caps(scenes.build("helmet", CFG))
+    panel = SceneHiearchyPanel(built.scene)
+    eid = built.scene.mesh_entities()[0].eid
+    panel.select(eid)
+    s = json.dumps({"scene": panel.tree(),
+                    "components": panel.components_schema(eid)},
+                   default=_jsonable)
+    back = json.loads(s)
+    assert "TransformComponent" in back["components"]
+    assert back["components"]["TransformComponent"]["position"][0] == "vec3"
+
+
+def test_rebuild_empty_scene_is_noop():
+    built = _small_caps(scenes.build("helmet", CFG))
+    panel = SceneHiearchyPanel(built.scene)
+    batch0 = built.batch
+    for e in list(built.scene.mesh_entities()):
+        panel.destroy_entity(e.eid)
+    assert built.mesh_signature() == ()
+    built.rebuild()                     # no renderable meshes: keep batch
+    assert built.batch is batch0

@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--update", action="store_true",
                     help="rewrite golden PNGs instead of comparing")
     ap.add_argument("--skip-goldens", action="store_true")
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="debug: run the script logic on CPU in Pallas "
+                         "interpret mode (validates the tool itself, "
+                         "NOT the Mosaic lowering)")
     args = ap.parse_args()
 
     import dataclasses
@@ -53,15 +57,26 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    if args.allow_cpu:
+        # the axon sitecustomize pins jax_platforms to the tunneled TPU
+        # past the env var; without this the CPU smoke hangs
+        # initializing the tunnel backend (see tools/render.py)
+        jax.config.update("jax_platforms",
+                          os.environ.get("JAX_PLATFORMS", "cpu"))
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     backend = jax.default_backend()
     print(f"backend: {backend} ({jax.devices()[0]})", flush=True)
+    interp = False
     if backend not in ("tpu", "axon"):
-        print("ERROR: verify_chip must run on the real TPU", flush=True)
-        return 2
+        if not args.allow_cpu:
+            print("ERROR: verify_chip must run on the real TPU", flush=True)
+            return 2
+        interp = True
+        print("WARNING: --allow-cpu smoke run (interpret mode; proves "
+              "the tool, not the chip)", flush=True)
 
     from soc_real_time_renderer_tpu import scenes
     from soc_real_time_renderer_tpu.config import RenderConfig
@@ -92,7 +107,7 @@ def main():
     grid = raster2.BinGrid(width=128, height=128, pair_cap=16384,
                            med_cap=512)
     vis, _ = raster2.rasterize_jit(jnp.asarray(clip_planar), grid,
-                                   "front", False)
+                                   "front", interp)
     kd = np.asarray(vis.depth)
     kt = np.asarray(vis.tri_id)
     same_id = (kt == ot).mean()
@@ -102,7 +117,7 @@ def main():
 
     # frame fields for the screen-space kernel checks
     out, _ = fm.render_frame(
-        dataclasses.replace(plan, interpret=False), built.batch, g,
+        dataclasses.replace(plan, interpret=interp), built.batch, g,
         fm.RenderHistory.create(cfg), mm, nm)
     depth = out.gbuffer.depth
     normal = out.gbuffer.normal
@@ -110,7 +125,7 @@ def main():
     # 2. SSAO pallas vs xla ---------------------------------------------
     from soc_real_time_renderer_tpu.ops import ssao as ssao_ops
     a = ssao_ops.ssao_blur(ssao_ops.ssao_generate_pallas(
-        depth, normal, g, interpret=False))
+        depth, normal, g, interpret=interp))
     b = ssao_ops.ssao_blur(ssao_ops.ssao_generate(depth, normal, g))
     err = float(jnp.abs(a - b).mean())
     check("ssao-pallas-vs-xla", err < 0.01, f"mean err {err:.5f}")
@@ -125,7 +140,7 @@ def main():
         (rng2.random((2, H, W), dtype=np.float32) - 0.5) * 8.0 / W)
     hist, oow = taa_pallas.reproject_history_pallas(
         packed.astype(jnp.bfloat16).astype(jnp.float32), vel,
-        interpret=False)
+        interpret=interp)
     uvg = sampling.grid_uv(H, W)
     exact = sampling.sample_screen(
         packed.astype(jnp.bfloat16).astype(jnp.float32),
@@ -140,7 +155,7 @@ def main():
         from soc_real_time_renderer_tpu.ops import clouds as clouds_ops
         from soc_real_time_renderer_tpu.ops import sky_pallas
         lut_k = sky_pallas.render_sky_lut_pallas(
-            g, built.batch.cloud_noise, interpret=False)
+            g, built.batch.cloud_noise, interpret=interp)
         lut_e = clouds_ops.render_sky_lut(
             g, noise_tex=built.batch.cloud_noise)
         serr = float(jnp.abs(lut_k - lut_e).mean())
@@ -155,7 +170,7 @@ def main():
         fm._clip_of(fm.transform_triangles(built.batch, jnp.asarray(mm),
                                            jnp.asarray(nm))[0],
                     g.camera.projection_view), plan.main_grid, "front",
-        False)
+        interp)
     world, wnrm = fm.transform_triangles(built.batch, jnp.asarray(mm),
                                          jnp.asarray(nm))
     records = gbuf_ops.build_shading_records(
@@ -166,7 +181,7 @@ def main():
         layer_stride=plan.atlas_layer_stride,
         n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter,
         atlas_page=built.batch.atlas_page,
-        num_materials=plan.atlas_num_materials, interpret=False)
+        num_materials=plan.atlas_num_materials, interpret=interp)
     gb_x, _ = gbuf_ops.resolve_gbuffer(
         vis2, records, built.batch.atlas_packed,
         g.camera_prev.projection_view, atlas_size=plan.atlas_size,

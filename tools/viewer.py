@@ -13,7 +13,17 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=384)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu when the TPU "
+                         "tunnel is unavailable)")
     args = ap.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        # the axon sitecustomize pins jax_platforms past the env var
+        # (see tools/render.py)
+        jax.config.update("jax_platforms", args.platform)
 
     from soc_real_time_renderer_tpu import scenes
     from soc_real_time_renderer_tpu.config import RenderConfig

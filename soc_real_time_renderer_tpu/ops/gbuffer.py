@@ -244,7 +244,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
         from . import texsample
         if sharded:
             # SPMD: the tile sampler shards by row bands with NO halo
-            # (32px tiles are independent; atlas page + fallback table
+            # (16px tiles are independent; atlas page + fallback table
             # replicated).  Band-local tiling regroups pixels into
             # different windows than the global tiling would, but the
             # sampled VALUE is per-pixel exact either way.

@@ -344,6 +344,10 @@ def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
     PSUB = min(P, 1024)
     NSUB = P // PSUB
     rows_per_sub = PSUB // bw
+    # every bin row must be written by exactly one sub-block: a bin
+    # with P % PSUB != 0 (or bw not dividing PSUB) would silently leave
+    # its last rows as uninitialized VMEM garbage
+    assert P % PSUB == 0 and PSUB % bw == 0, (bw, bh, P, PSUB)
     # row0 is the GLOBAL bin row of this kernel's first grid row: 0 on a
     # single chip; band_index * rows_per_band under row-sharded SPMD
     # (resolve_row_sharded).  Offsetting gy is the whole multi-chip

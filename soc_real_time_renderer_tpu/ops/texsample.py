@@ -56,7 +56,6 @@ instead of doubling a 50 ms gather.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -193,14 +192,6 @@ def _tileize(x, H, W):
             .transpose(0, 2, 1, 3).reshape(-1, P))
 
 
-def _untileize(x, H, W):
-    """(NT, C, TH*TW) -> (C, H, W)."""
-    NTY, NTX = H // TH, W // TW
-    C = x.shape[1]
-    return (x.reshape(NTY, NTX, C, TH, TW)
-            .transpose(2, 0, 3, 1, 4).reshape(C, H, W))
-
-
 def _untileize_pc(x, H, W):
     """(NT, TH*TW, C) -> (C, H, W) — pixel-major kernel output layout,
     single fused transpose."""
@@ -277,15 +268,18 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     for _ in range(K_TOP):
         j = jnp.argmax(cts, axis=1).astype(jnp.int32)        # (NT,)
         ln = jnp.take_along_axis(cts, j[:, None], axis=1)[:, 0]
-        # exhausted tiles (all remaining runs empty) pick combo 0 with
-        # count 0 — same as the dense argmax over all-zero counts;
-        # without this an exhausted argmax lands on position 0 and
-        # re-picks the tile's FIRST combo as a duplicate (measured:
-        # dirty 440 -> 1295, avg_slots 3.1 -> 6.6 on sponza 736p)
+        # exhausted tiles (all remaining runs empty) pick the
+        # OUT-OF-RANGE sentinel M*L, which no pixel's combo can equal,
+        # so exhausted rows get empty candidate masks and consume no
+        # slots.  (Two wrong sentinels tried before: re-picking the
+        # tile's first combo duplicated windows — dirty 440 -> 1295,
+        # avg_slots 3.1 -> 6.6 on sponza 736p; and sentinel 0 collides
+        # with the REAL combo (material 0, mip 0), duplicating its
+        # window per exhausted row on any tile that samples it.)
         top_combo.append(jnp.where(
             ln > 0,
             jnp.take_along_axis(sorted_c, j[:, None], axis=1)[:, 0],
-            0))
+            M * L))
         cts = cts * (1 - (idxP == j[:, None]))
     top_combo = jnp.stack(top_combo, axis=1)          # (NT, K_TOP)
 

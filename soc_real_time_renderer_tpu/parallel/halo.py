@@ -16,7 +16,7 @@ sampler) previously forced the sharded path onto their XLA fallbacks
 * each shard runs the unmodified Pallas kernel on its padded band and
   the wrapper crops the halo rows back off.
 
-The tile texture sampler needs NO halo (32px tiles are independent;
+The tile texture sampler needs NO halo (16px tiles are independent;
 the atlas page is replicated) — it shards by rows directly.
 """
 from __future__ import annotations

@@ -177,3 +177,18 @@ def test_planner_single_combo_tile_uses_one_slot():
         num_materials=atlas.num_materials)
     assert not bool(np.asarray(dirty).any()), np.asarray(dirty)
     np.testing.assert_array_equal(np.asarray(n_used), 1)
+
+    # regression: (material 0, mip 0) — combo id 0 — must ALSO plan one
+    # slot.  The exhausted-top-K sentinel used to be 0, which collides
+    # with this real combo: every exhausted iteration re-planned its
+    # window (duplicate DMA slots; n_used 6 instead of 1, and spurious
+    # dirty fallback whenever the bbox split pushed n_used > NBLK).
+    u0_t = texsample._tileize(jnp.asarray((xx + 0.5) / 64.0), H, W)
+    v0_t = texsample._tileize(jnp.asarray((yy + 0.5) / 64.0), H, W)
+    lvl0_t = texsample._tileize(jnp.zeros((H, W), jnp.int32), H, W)
+    _, _, n_used0, dirty0 = texsample._plan_tiles_impl(
+        mid_t, u0_t, v0_t, lvl0_t, live_t, page.row0, page.col0,
+        size=atlas.size, n_levels=atlas.n_levels,
+        num_materials=atlas.num_materials)
+    assert not bool(np.asarray(dirty0).any()), np.asarray(dirty0)
+    np.testing.assert_array_equal(np.asarray(n_used0), 1)

@@ -309,7 +309,8 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         num_materials=plan.atlas_num_materials,
         tex_dirty_cap=plan.tex_dirty_cap, interpret=interp,
         shard=((plan.shard_mesh, plan.shard_axis)
-               if plan.shard_mesh is not None else None))
+               if plan.shard_mesh is not None
+               and plan.shard_axis is not None else None))
     overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole
@@ -395,28 +396,34 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         interp = plan.interpret
         if interp is None:
             interp = jax.default_backend() not in ("tpu", "axon")
-        if cfg.cloud_noise_mode == "texture" and (
-                batch.cloud_noise is None or interp):
-            # requested the real-noise kernel but taking the procedural
-            # fallback (CPU run or missing noise asset): outputs change
-            # shape class, so say so once per trace (ADVICE round 2)
+        if cfg.cloud_noise_mode == "texture" and batch.cloud_noise is None:
+            # requested the real-noise texture but the asset is missing:
+            # outputs change shape class (procedural value noise), so
+            # say so once per trace (ADVICE round 2)
             import warnings
-            why = ("batch.cloud_noise is missing"
-                   if batch.cloud_noise is None else
-                   "Pallas interpret mode (CPU run)")
             warnings.warn(
-                f"cloud_noise_mode='texture' falling back to the "
-                f"procedural sky LUT: {why}; cloud shapes will differ "
-                f"from the reference noise texture.", stacklevel=2)
+                "cloud_noise_mode='texture' falling back to the "
+                "procedural sky LUT: batch.cloud_noise is missing; "
+                "cloud shapes will differ from the reference noise "
+                "texture.", stacklevel=2)
         if (cfg.cloud_noise_mode == "texture"
                 and batch.cloud_noise is not None and not interp):
             # real-noise Pallas kernel; TPU-only — the interpreted
-            # march is ~284 GFLOP/LUT, so CPU runs take the procedural
-            # path (kernel parity is pinned by tests/test_sky_pallas.py
+            # march is ~284 GFLOP/LUT, so CPU runs take the XLA LUT
+            # below (kernel parity is pinned by tests/test_sky_pallas.py
             # at a small LUT)
             from ..ops import sky_pallas
             lut = sky_pallas.render_sky_lut_pallas(
                 g, batch.cloud_noise, interpret=False)
+        elif cfg.cloud_noise_mode == "texture" \
+                and batch.cloud_noise is not None:
+            # CPU/interpret run with the real noise present: the exact
+            # XLA LUT samples the same texture (gather-based
+            # _sample_repeat), so CPU smoke renders keep the
+            # reference-matching cloud shapes instead of silently
+            # switching to procedural noise
+            lut = clouds_ops.render_sky_lut(g,
+                                            noise_tex=batch.cloud_noise)
         else:
             lut = clouds_ops.render_sky_lut(g)
         clouds_half = clouds_ops.sky_from_lut(g, lut, vis.depth, hw, hh)
@@ -444,6 +451,18 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         wgt = (metal * (1.0 - rough))[None]
         hdr = hdr + (ssr_img - hdr) * wgt
 
+    # ---- depth of field (T21; disabled in the reference graph).  The
+    # reference's commented task chain (renderer.cpp:1119-1153) blits
+    # the post-composition HDR color, mips it and blurs back into
+    # color_image BEFORE the luminance histogram and TAA — so when
+    # enabled, DoF feeds exposure/TAA and the TAA history, rather than
+    # post-processing the resolved frame.  (Previously this ran after
+    # TAA and leaked into previous_color, compounding blur every
+    # frame.)
+    if cfg.enable_depth_of_field:
+        from ..ops import dof as dof_ops
+        hdr = dof_ops.depth_of_field(hdr, vis.depth, g)
+
     # ---- auto exposure (T16/T17)
     if cfg.enable_auto_exposure:
         exposure = exposure_ops.auto_exposure(hdr, history.exposure, g)
@@ -462,12 +481,6 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                                       if sharded else None))
     else:
         resolved = hdr
-
-    # ---- depth of field (T21; disabled in the reference graph,
-    # renderer.cpp:1119-1153)
-    if cfg.enable_depth_of_field:
-        from ..ops import dof as dof_ops
-        resolved = dof_ops.depth_of_field(resolved, vis.depth, g)
 
     # ---- tone mapping (T20)
     resolved = rows(resolved)
@@ -517,9 +530,15 @@ def check_sun_proof(plan: FramePlan, g: ShaderGlobals):
             "proof) or set shadow_statically_empty=False.")
 
 
+@functools.lru_cache(maxsize=8)
 def make_render_fn(plan: FramePlan):
     """Jitted frame function with history donated (the frames-in-flight
     ring buffer analog: TAA/exposure state updates in place).
+
+    Memoized on the (hashable, frozen) plan: callers that re-derive
+    their plan per edit/rebuild (ui/server.render_loop) get the SAME
+    jitted callable back for an unchanged plan, so no re-trace happens
+    unless the plan really changed.
 
     The wrapper validates g.sun against the shadow-elision proof before
     dispatch (16-float host compare; see check_sun_proof)."""

@@ -166,7 +166,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     """Shade the visibility buffer into the 5-target G-buffer.
 
     atlas_page: ops/texsample.AtlasPageDevice — when given (and H, W
-    are multiples of 32), material textures are sampled by the
+    are multiples of 16), material textures are sampled by the
     tile-resident Pallas kernel with the XLA gather as dirty-tile
     fallback; otherwise the exact XLA gather path runs.  Returns
     (gbuffer, tex_overflow) — tex_overflow is OVERFLOW_TEX_DIRTY when

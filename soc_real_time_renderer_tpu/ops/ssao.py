@@ -388,7 +388,7 @@ def ssao_generate_pallas(depth, normal, g, kernel_size: int = 26,
             num_scalar_prefetch=0,
             grid=(hp // 8, wp // 128),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),       # params (14,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),       # params (15,)
                 pl.BlockSpec(memory_space=pltpu.SMEM),       # kern (K, 3)
                 pl.BlockSpec((12, 8, 128), lambda ty, tx: (0, ty, tx),
                              memory_space=pltpu.VMEM),       # planes

@@ -15,7 +15,6 @@ sharded on rows.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -88,14 +87,24 @@ def make_sharded_shade_fn(plan: frame_mod.FramePlan, mesh: Mesh,
     return jax.jit(shade)
 
 
-def shard_inputs(mesh: Mesh, batch, globals_batch, history_batch):
+def shard_inputs(mesh: Mesh, batch, globals_batch, history_batch,
+                 row_axis: str = "sp"):
     """Place inputs: geometry replicated, per-camera pytrees split on dp,
-    history images split on (dp, rows)."""
+    history images split on (dp, rows) — matching the row layout
+    shade_stage pins, so the first step pays no reshard."""
     repl = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P("dp"))
     batch = jax.device_put(batch, repl)
     globals_batch = jax.device_put(globals_batch, dp)
-    history_batch = jax.device_put(history_batch, dp)
+
+    def place_hist(a):
+        if a.ndim >= 3:    # (B, C, H, W) image carries: rows on row_axis
+            spec = P(*(["dp"] + [None] * (a.ndim - 3) + [row_axis, None]))
+        else:
+            spec = P("dp")
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    history_batch = jax.tree_util.tree_map(place_hist, history_batch)
     return batch, globals_batch, history_batch
 
 

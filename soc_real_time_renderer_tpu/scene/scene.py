@@ -62,13 +62,19 @@ class Scene:
         def visit(entity: Entity):
             if entity.has_component(TransformComponent):
                 entity.get_component(TransformComponent).update()
-            if entity.has_component(PointLightComponent):
+            # lights gather only over entities that ALSO have a
+            # transform — the reference's EnTT view<Transform, Light>
+            # semantics (scene.cpp:47-118); a light component added to
+            # an entity before its transform must not crash the update
+            if (entity.has_component(PointLightComponent)
+                    and entity.has_component(TransformComponent)):
                 lc = entity.get_component(PointLightComponent)
                 tc = entity.get_component(TransformComponent)
                 lights["pp"].append(tc.position)
                 lights["pc"].append(lc.color)
                 lights["pi"].append(lc.intensity)
-            if entity.has_component(SpotLightComponent):
+            if (entity.has_component(SpotLightComponent)
+                    and entity.has_component(TransformComponent)):
                 lc = entity.get_component(SpotLightComponent)
                 tc = entity.get_component(TransformComponent)
                 d = np.array([0.0, -1.0, 0.0], np.float32)

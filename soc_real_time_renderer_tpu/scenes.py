@@ -64,35 +64,88 @@ class BuiltScene:
         return tuple((e.eid, id(e.get_component(MeshComponent).model))
                      for e in self.scene.mesh_entities())
 
+    # FramePlan fields a session may have customized after build; a
+    # rebuild must not silently revert them (trilinear A/B, sharding,
+    # interpret mode, fallback caps)
+    _PLAN_OVERRIDES = ("texture_filter", "texture_impl", "interpret",
+                       "shard_mesh", "shard_axis", "tex_dirty_cap")
+
     def rebuild(self) -> None:
-        """Re-pack the SceneBatch/FramePlan from the LIVE scene (the
-        analog of the reference loading a model into a new entity and
-        drawing it next frame).  Keeps camera/fly state; the caller
-        re-jits with make_render_fn(self.plan) (persistent compile
-        cache makes repeat shapes cheap).  No-op when the scene has no
-        renderable meshes (an empty batch has no triangle stream)."""
+        """Re-derive the render state from the LIVE scene (the analog
+        of the reference loading a model into a new entity and drawing
+        it next frame).  Keeps camera/fly state and the plan overrides
+        in _PLAN_OVERRIDES; the caller re-jits with
+        make_render_fn(self.plan) (memoized + persistent compile cache,
+        so an unchanged plan costs nothing).
+
+        Two tiers, decided by whether the renderable model set changed:
+        * same models — cheap: re-bound the light scan to the live
+          light counts and RE-PROVE the shadow elision against the live
+          transforms (a transform edit can move geometry into the sun
+          volume; the build-time proof must not outlive it);
+        * changed models — full _finish re-pack (batch + atlas + plan).
+        No-op when the scene has no renderable meshes (an empty batch
+        has no triangle stream)."""
+        import dataclasses as _dc
         models = [e.get_component(MeshComponent).model
                   for e in self.scene.mesh_entities()]
         if not models:
             return
-        nb = _finish(self.scene, models, self.plan.config,
-                     camera_pos=self.camera_position,
-                     camera_target=self.camera_target,
-                     animate=self.animate,
-                     atlas_size=self.plan.atlas_size)
-        self.batch = nb.batch
-        self.plan = nb.plan
+        old = self.plan
+        # strong refs + elementwise `is`: id() comparison against a
+        # persisted list is unsound (CPython reuses addresses after GC)
+        prev = getattr(self, "_models", None)
+        same = (prev is not None and len(prev) == len(models)
+                and all(a is b for a, b in zip(prev, models)))
+        if same:
+            lights = self.scene.update(0.0)
+            cfg2 = old.config.replace(
+                max_point_lights=int(lights.point_count),
+                max_spot_lights=int(lights.spot_count))
+            mm, _ = self.scene.transform_matrices()
+            # the cheap path never changes the batch, so its host-side
+            # proof inputs are pulled once and reused across edits
+            # (a per-edit device->host readback of every triangle
+            # stalls the viewer's render loop)
+            if getattr(self, "_proof_pos", None) is None:
+                self._proof_pos = np.asarray(self.batch.tri_pos)
+                self._proof_ent = np.asarray(self.batch.tri_entity)
+            empty, proved = _prove_shadow(self.batch, mm,
+                                          pos=self._proof_pos,
+                                          ent=self._proof_ent)
+            self.plan = _dc.replace(old, config=cfg2,
+                                    shadow_statically_empty=empty,
+                                    proved_sun_pv=proved)
+        else:
+            nb = _finish(self.scene, models, old.config,
+                         camera_pos=self.camera_position,
+                         camera_target=self.camera_target,
+                         animate=self.animate,
+                         atlas_size=old.atlas_size)
+            self.batch = nb.batch
+            self._proof_pos = self._proof_ent = None
+            self.plan = _dc.replace(
+                nb.plan, **{f: getattr(old, f)
+                            for f in self._PLAN_OVERRIDES})
+        self._models = list(models)
 
-    def frame_globals(self, frame_index: int, dt: float = 1.0 / 60.0):
+    def frame_globals(self, frame_index: int, dt: float = 1.0 / 60.0,
+                      peek: bool = False):
         """Per-frame host update: camera/jitter/lights/transforms —
-        Application::update + Scene::update analog."""
+        Application::update + Scene::update analog.
+
+        peek=True reads the current globals WITHOUT advancing the
+        prev-camera roll — for observers (the viewer's /schema handler)
+        that must not corrupt the render loop's TAA reprojection
+        velocity."""
         from .utils import mathutil as mu
         if hasattr(self, "_fly"):
             cam = camera_matrices(self.camera, self._fly.position,
                                   frame_index, self.plan.config.width,
                                   self.plan.config.height)
             cam_prev = getattr(self, "_prev_cam", cam)
-            self._prev_cam = cam
+            if not peek:
+                self._prev_cam = cam
             lights = self.scene.update(dt)
             g = ShaderGlobals.create(
                 camera=cam, camera_prev=cam_prev, lights=lights,
@@ -117,7 +170,8 @@ class BuiltScene:
                               self.plan.config.width,
                               self.plan.config.height)
         cam_prev = getattr(self, "_prev_cam", cam)
-        self._prev_cam = cam
+        if not peek:
+            self._prev_cam = cam
         lights = self.scene.update(dt)
         g = ShaderGlobals.create(
             camera=cam, camera_prev=cam_prev, lights=lights,
@@ -129,14 +183,35 @@ class BuiltScene:
         return g, mm, nm
 
 
-def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4):
+def _prove_shadow(batch, model_mats, pos=None, ent=None):
+    """(statically_empty, proved_sun_pv-or-None) for the GIVEN
+    transforms.  proved_sun_pv records WHICH sun the proof holds for;
+    make_render_fn rejects frames whose g.sun differs (ADVICE round 2,
+    scenes.py item).  pos/ent: optional pre-pulled host copies of
+    batch.tri_pos / batch.tri_entity (BuiltScene.rebuild's cheap path
+    caches them to avoid a per-edit device readback)."""
+    empty = bool(_shadow_statically_empty(batch, np.asarray(model_mats),
+                                          pos=pos, ent=ent))
+    proved = None
+    if empty:
+        proved = tuple(
+            float(v) for v in
+            np.asarray(cfg_mod.SunInfo.create().projection_view,
+                       np.float32).ravel())
+    return empty, proved
+
+
+def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
+                             pos=None, ent=None):
     """True iff all world-space vertices are strictly outside the sun
     clip volume on one common side (z or x or y), for the build-time
     sun matrices (config.SunInfo.create defaults = renderer.cpp:
     108-133).  Conservative: any vertex in/straddling -> False."""
     from .config import SunInfo
-    pos = np.asarray(batch.tri_pos)                 # (3 verts, 3 xyz, T)
-    ent = np.asarray(batch.tri_entity)              # (T,)
+    if pos is None:
+        pos = np.asarray(batch.tri_pos)             # (3 verts, 3 xyz, T)
+    if ent is None:
+        ent = np.asarray(batch.tri_entity)          # (T,)
     M = model_mats[ent]                             # (T, 4, 4)
     pv = np.asarray(SunInfo.create().projection_view)
     sides = []  # per-side "all outside" flags over every vertex
@@ -212,15 +287,7 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     # side, no fragment can survive the shadow raster's clip, so the
     # map provably stays at its 1.0 clear and the pass is elided.
     mm_np, _ = scene.transform_matrices()
-    empty = bool(_shadow_statically_empty(batch, np.asarray(mm_np)))
-    proved = None
-    if empty:
-        # record WHICH sun the proof holds for; make_render_fn rejects
-        # frames whose g.sun differs (ADVICE round 2, scenes.py item)
-        proved = tuple(
-            float(v) for v in
-            np.asarray(cfg_mod.SunInfo.create().projection_view,
-                       np.float32).ravel())
+    empty, proved = _prove_shadow(batch, np.asarray(mm_np))
     plan = _dc.replace(plan, shadow_statically_empty=empty,
                        proved_sun_pv=proved)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
@@ -230,10 +297,12 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     batch = _jax.device_put(batch)
     cam = Camera3D()
     cam.resize(config.width, config.height)
-    return BuiltScene(scene=scene, batch=batch, plan=plan, camera=cam,
-                      camera_position=np.asarray(camera_pos, np.float32),
-                      camera_target=np.asarray(camera_target, np.float32),
-                      animate=animate)
+    bs = BuiltScene(scene=scene, batch=batch, plan=plan, camera=cam,
+                    camera_position=np.asarray(camera_pos, np.float32),
+                    camera_target=np.asarray(camera_target, np.float32),
+                    animate=animate)
+    bs._models = list(models)        # rebuild() cheap-path key (strong refs)
+    return bs
 
 
 _DEFAULT_MODEL = None

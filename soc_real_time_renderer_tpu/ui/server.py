@@ -98,8 +98,10 @@ async function panels(){
     const lab=document.createElement('span');lab.innerText=pn;row.appendChild(lab);
     const vals=Array.isArray(tv[1])?tv[1]:[tv[1]];
     vals.forEach((v,i)=>{const inp=document.createElement('input');
-     inp.value=typeof v=='number'?+v.toPrecision(5):v;
-     inp.onchange=()=>{const nv=vals.map((x,j)=>j==i?parseFloat(inp.value):x);
+     const isNum=typeof v=='number';
+     inp.value=isNum?+v.toPrecision(5):v;
+     inp.onchange=()=>{const nv=vals.map((x,j)=>j==i?
+       (isNum?parseFloat(inp.value):inp.value):x);
       sc({op:'set_property',id:s.selected,component:cn,prop:pn,
           value:Array.isArray(tv[1])?nv:nv[0]})};
      row.appendChild(inp)});
@@ -147,12 +149,25 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
     last_present = time.perf_counter()
     while True:
         if state.needs_rebuild:
-            queue.clear()                     # drop in-flight old-batch frames
             with state.lock:
-                state.built.rebuild()         # re-pack batch from live scene
-                state.render_fn = frame_mod.make_render_fn(state.built.plan)
-                state.history = frame_mod.RenderHistory.create(
-                    state.built.plan.config)
+                old_plan = state.built.plan
+                old_batch = state.built.batch
+                try:
+                    state.built.rebuild()     # cheap unless models changed
+                except Exception:
+                    # a UI-reachable rebuild error must not kill the
+                    # render thread — log it and keep serving frames
+                    # from the last good state
+                    import traceback
+                    traceback.print_exc()
+                if state.built.batch is not old_batch:
+                    queue.clear()             # never present old-batch frames
+                if state.built.plan != old_plan:
+                    queue.clear()
+                    state.render_fn = frame_mod.make_render_fn(
+                        state.built.plan)
+                    state.history = frame_mod.RenderHistory.create(
+                        state.built.plan.config)
                 state.needs_rebuild = False
         with state.lock:
             g, mm, nm = state.built.frame_globals(state.frame_index, dt)
@@ -252,7 +267,11 @@ def make_handler(state: ViewerState, panel):
                 self._send(state.frame_jpeg or b"", "image/jpeg")
             elif self.path.startswith("/schema"):
                 with state.lock:
-                    g, _, _ = state.built.frame_globals(state.frame_index)
+                    # peek: reading the schema must not advance the
+                    # prev-camera roll (it would zero one frame's TAA
+                    # reprojection velocity per panel refresh)
+                    g, _, _ = state.built.frame_globals(state.frame_index,
+                                                        peek=True)
                     g = _apply_overrides(g, state.overrides)
                     data = {"settings": widgets.settings_schema(g),
                             "scene": panel.tree(),
@@ -290,26 +309,33 @@ def make_handler(state: ViewerState, panel):
                         body["value"]
             elif self.path.startswith("/scene"):
                 # scene hierarchy mutations (scene_hiearchy_panel.cpp
-                # context-menu ops).  Mutations that change the
-                # renderable mesh set flag a batch rebuild, which the
-                # render loop applies between frames — the reference's
-                # load-model-into-new-entity workflow.
+                # context-menu ops).  EVERY mutation flags a rebuild,
+                # which the render loop applies between frames: a mesh-
+                # set change re-packs the batch; anything else takes
+                # BuiltScene.rebuild's cheap path (re-bound light scan
+                # + shadow-proof re-check against the live transforms —
+                # a transform edit can move geometry into the sun
+                # volume, and a live-added light must enter the
+                # statically-bounded composition scan).  An edit that
+                # leaves the plan unchanged costs nothing: make_render_fn
+                # is memoized on the plan.
                 op = body.get("op")
                 with state.lock:
-                    before = state.built.mesh_signature()
                     if op == "select":
                         panel.select(body.get("id"))
                     elif op == "create":
                         panel.create_entity(body.get("name",
                                                      "empty entity"))
+                        state.needs_rebuild = True
                     elif op == "destroy":
                         panel.destroy_entity(body["id"])
+                        state.needs_rebuild = True
                     elif op == "add_component":
                         panel.add_component(body["id"], body["type"])
+                        state.needs_rebuild = True
                     elif op == "set_property":
                         panel.set_property(body["id"], body["component"],
                                            body["prop"], body["value"])
-                    if state.built.mesh_signature() != before:
                         state.needs_rebuild = True
             self._send(b"{}")
 

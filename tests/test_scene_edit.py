@@ -99,6 +99,96 @@ def test_components_schema_roundtrip_json():
     assert back["components"]["TransformComponent"]["position"][0] == "vec3"
 
 
+def test_transform_edit_reproves_shadow_elision():
+    """Moving geometry into the sun volume via a live transform edit
+    must defeat the build-time shadow-elision proof (the cheap rebuild
+    path re-proves against the LIVE transforms; previously the stale
+    proof silently substituted an all-1.0 shadow map — helmet_lifted's
+    exact configuration with no shadow and no error)."""
+    built = _small_caps(scenes.build("helmet", CFG))
+    panel = SceneHiearchyPanel(built.scene)
+    assert built.plan.shadow_statically_empty
+    eid = built.scene.mesh_entities()[0].eid
+    # y=32 is inside the sun ortho volume (y 24..56) — the lifted case
+    panel.set_property(eid, "TransformComponent", "position",
+                       [0.0, 32.0, 0.0])
+    built.rebuild()
+    assert not built.plan.shadow_statically_empty, \
+        "live transform into the sun volume must defeat the proof"
+    # moving back restores the elision (cheap path both ways: the
+    # batch object must be untouched)
+    batch0 = built.batch
+    panel.set_property(eid, "TransformComponent", "position",
+                       [0.0, 0.0, 0.0])
+    built.rebuild()
+    assert built.plan.shadow_statically_empty
+    assert built.batch is batch0, "cheap path must not re-pack the batch"
+
+
+def test_live_added_light_enters_the_frame():
+    """A PointLight added live must widen the statically-bounded
+    composition light scan (previously max_point_lights stayed frozen
+    at the build-time count and the new light was silently invisible)."""
+    built = _small_caps(scenes.build("helmet", CFG))
+    panel = SceneHiearchyPanel(built.scene)
+    assert built.plan.config.max_point_lights == 0
+    frame0 = _render_one(built)
+
+    eid = panel.create_entity("lamp")
+    panel.add_component(eid, "TransformComponent")
+    panel.set_property(eid, "TransformComponent", "position",
+                       [0.0, 0.0, 1.5])
+    panel.add_component(eid, "PointLightComponent")
+    panel.set_property(eid, "PointLightComponent", "intensity", 40.0)
+    built.rebuild()
+    built = _small_caps(built)
+    assert built.plan.config.max_point_lights == 1
+    frame1 = _render_one(built)
+    assert np.abs(frame1 - frame0).max() > 0.01, \
+        "live-added light must change the rendered frame"
+
+
+def test_dof_does_not_compound_into_taa_history():
+    """With depth-of-field enabled on a static scene, repeated frames
+    must converge (TAA) rather than blur monotonically (the old graph
+    fed the DoF output back as TAA history, so every frame re-blurred
+    the previous blur)."""
+    import dataclasses as dc
+
+    cfg = CFG.replace(enable_taa=True, enable_depth_of_field=True)
+    built = _small_caps(scenes.build("helmet", cfg))
+    render = frame_mod.make_render_fn(built.plan)
+    hist = frame_mod.RenderHistory.create(built.plan.config)
+    g, mm, nm = built.frame_globals(1)     # one fixed camera/jitter
+    frames = []
+    for _ in range(8):
+        out, hist = render(built.batch, g, hist, mm, nm)
+        frames.append(np.asarray(out.color))
+    d_early = np.abs(frames[2] - frames[1]).mean()
+    d_late = np.abs(frames[7] - frames[6]).mean()
+    assert d_late <= d_early + 1e-5, (d_early, d_late)
+    # and the long-run drift must be tiny (blur accumulation showed up
+    # as a monotonic frame-to-frame delta)
+    assert d_late < 2e-3, d_late
+
+
+def test_rebuild_preserves_plan_overrides():
+    """A customized plan (trilinear A/B, interpret mode) must survive a
+    full rebuild — previously rebuild() silently reverted to defaults."""
+    import dataclasses as dc
+
+    built = _small_caps(scenes.build("helmet", CFG))
+    built.plan = dc.replace(built.plan, texture_filter="trilinear")
+    panel = SceneHiearchyPanel(built.scene,
+                               model_loader=scenes.default_model)
+    eid = panel.create_entity("second")
+    panel.add_component(eid, "TransformComponent")
+    panel.add_component(eid, "MeshComponent")
+    built.rebuild()                         # full path (model set grew)
+    assert built.plan.texture_filter == "trilinear"
+    assert built.plan.interpret is True
+
+
 def test_rebuild_empty_scene_is_noop():
     built = _small_caps(scenes.build("helmet", CFG))
     panel = SceneHiearchyPanel(built.scene)

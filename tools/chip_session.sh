@@ -64,10 +64,14 @@ while ! all_done; do
     # cache): proves run-to-run determinism on the chip and exercises
     # the compare path end-to-end
     step verify_assert 1800 python tools/verify_chip.py || continue
+    blfail=0
     for n in 1 2 3 4 5 6 7; do
         step "bl$n" 1800 python tools/bench_baselines.py --frames 16 \
-            --only "$n" || break
+            --only "$n" || { blfail=1; break; }
     done
+    # a bl failure means the tunnel likely dropped: re-probe instead of
+    # launching the remaining steps against a dead tunnel
+    [ "$blfail" -eq 1 ] && continue
     step tri3 1200 python tools/bench_baselines.py --frames 16 --only 3 \
         --filter trilinear || continue
     step tri5 1800 python tools/bench_baselines.py --frames 16 --only 5 \

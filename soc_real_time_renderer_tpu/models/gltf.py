@@ -123,14 +123,24 @@ def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
             out = np.frombuffer(buf, dtype, count * ncomp, offset)
             out = out.reshape(count, ncomp)
         else:
-            rows = np.frombuffer(buf, np.uint8, count * stride, offset)
-            rows = rows.reshape(count, stride)[:, :itemsize].copy()
+            # spec-legal views end stride*(count-1)+itemsize bytes in —
+            # reading count*stride would overrun the final partial row
+            nbytes = stride * (count - 1) + itemsize
+            rows = np.frombuffer(buf, np.uint8, nbytes, offset)
+            rows = np.lib.stride_tricks.as_strided(
+                rows, (count, itemsize), (stride, 1), writeable=False
+            ).copy()
             out = rows.view(dtype).reshape(count, ncomp)
     if "sparse" in acc:
         sp = acc["sparse"]
         out = out.copy()
         sidx = _read_raw(gltf, buffers, sp["indices"], sp["count"]).ravel()
-        svals = _read_raw(gltf, buffers, sp["values"], sp["count"] * ncomp)
+        # spec: sparse.values has no componentType of its own — it
+        # inherits the parent accessor's (indices carry their own)
+        svals = _read_raw(gltf, buffers,
+                          {**sp["values"],
+                           "componentType": acc["componentType"]},
+                          sp["count"] * ncomp)
         out[sidx.astype(np.int64)] = svals.reshape(sp["count"], ncomp)
     if acc.get("normalized") and np.issubdtype(dtype, np.integer):
         info = np.iinfo(dtype)
@@ -282,8 +292,19 @@ def load_model(path: str | Path, apply_node_transforms: bool = False
     positions, normals, uvs, tangents, indices = [], [], [], [], []
     prims = []
     vertex_offset = index_offset = 0
-    scenes = gltf.get("scenes", [{"nodes": list(range(len(gltf.get("nodes", []))))}])
-    for scene in scenes:
+    # glTF spec: render the DEFAULT scene ("scene" index, else the
+    # first); walking every scene double-loads nodes shared between
+    # scenes.  With no "scenes" at all, the roots are the nodes never
+    # referenced as children (seeding the DFS with EVERY node would
+    # visit children twice: once as pseudo-root, once via the walk).
+    if "scenes" in gltf:
+        scene_list = [gltf["scenes"][gltf.get("scene", 0)]]
+    else:
+        nodes = gltf.get("nodes", [])
+        child_set = {c for nd in nodes for c in nd.get("children", [])}
+        scene_list = [{"nodes": [i for i in range(len(nodes))
+                                 if i not in child_set]}]
+    for scene in scene_list:
         for node_idx in scene.get("nodes", []):
             stack = [node_idx]
             while stack:

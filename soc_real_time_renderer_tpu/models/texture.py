@@ -52,24 +52,10 @@ def decode_images_parallel(blobs: list[bytes], workers: int = 8
         return list(ex.map(decode_image, blobs))
 
 
-def srgb_to_linear(x: np.ndarray) -> np.ndarray:
-    """Piecewise sRGB EOTF on [0,1] floats (what SRGB formats do in HW)."""
-    return np.where(x <= 0.04045, x / 12.92,
-                    ((x + 0.055) / 1.055) ** 2.4).astype(np.float32)
-
-
 def linear_to_srgb(x: np.ndarray) -> np.ndarray:
     x = np.clip(x, 0.0, 1.0)
     return np.where(x <= 0.0031308, x * 12.92,
                     1.055 * x ** (1 / 2.4) - 0.055).astype(np.float32)
-
-
-def to_linear_float(img_u8: np.ndarray, srgb: bool) -> np.ndarray:
-    f = img_u8.astype(np.float32) / 255.0
-    if srgb:
-        rgb = srgb_to_linear(f[..., :3])
-        f = np.concatenate([rgb, f[..., 3:4]], axis=-1)  # alpha stays linear
-    return f
 
 
 def resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -101,50 +87,6 @@ def build_mips(img: np.ndarray) -> list[np.ndarray]:
     return levels
 
 
-@dataclass(frozen=True)
-class TextureAtlas:
-    """Packed mip atlas. All device-side data in one flat (N, 4) array.
-
-    Layout: texel (layer, level, y, x) lives at flat index
-    ``layer * layer_stride + level_offsets[level] + y * size(level) + x``.
-    """
-    flat: np.ndarray            # (num_layers * layer_stride, 4) bf16
-    size: int                   # base resolution (power of two)
-    num_layers: int
-    level_offsets: tuple        # static python ints, len = n_levels
-    layer_stride: int
-
-    @property
-    def n_levels(self):
-        return len(self.level_offsets)
-
-
-def pack_atlas(images: list[np.ndarray], size: int = 1024,
-               dtype=BF16) -> TextureAtlas:
-    """images: list of (H, W, 4) float32 (already linearized)."""
-    n_levels = int(np.log2(size)) + 1
-    level_offsets = []
-    off = 0
-    for k in range(n_levels):
-        level_offsets.append(off)
-        off += (size >> k) * (size >> k)
-    layer_stride = off
-    flat = np.zeros((max(len(images), 1) * layer_stride, 4), np.float32)
-    for i, img in enumerate(images):
-        base = resize_bilinear(img.astype(np.float32), size, size)
-        for k, lvl in enumerate(build_mips(base)):
-            s = size >> k
-            start = i * layer_stride + level_offsets[k]
-            flat[start:start + s * s] = lvl.reshape(s * s, 4)
-    return TextureAtlas(flat=flat.astype(dtype), size=size,
-                        num_layers=max(len(images), 1),
-                        level_offsets=tuple(level_offsets),
-                        layer_stride=layer_stride)
-
-
-WHITE_PNG_PIXEL = np.ones((1, 1, 4), np.float32)
-
-
 # ---------------------------------------------------------------------------
 # Packed per-material atlas (the production path — see PERF.md: one
 # gather per tap fetches ALL four material textures)
@@ -168,16 +110,16 @@ class PackedMaterialAtlas:
     n_levels: int
 
 
-def _mip_stack_u8(img_f32, size):
-    """(H, W, 4) float [0,1] -> flat (layer_stride, 4) u8 of all mips.
+def _mip_stack_u8(img_u8, size):
+    """(H, W, 4) uint8 -> flat (layer_stride, 4) u8 of all mips.
 
     Uses the native C++ pipeline (utils/native.py) when available; mips
     are box-filtered in the stored (possibly sRGB-encoded) space — a
     small deviation from the reference's linear-space SRGB blits.
     """
     from ..utils import native
-    u8 = (np.clip(img_f32, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    base = native.resize_bilinear_u8(u8, size, size)
+    base = native.resize_bilinear_u8(np.ascontiguousarray(img_u8),
+                                     size, size)
     return native.build_mip_chain_u8(base)
 
 
@@ -203,8 +145,9 @@ def pack_material_atlas(materials, images_u8, size: int = 1024,
     def mips_of(img_idx, fallback):
         if img_idx < 0 or img_idx >= len(images_u8):
             return fallback
-        return _mip_stack_u8(images_u8[img_idx].astype(np.float32) / 255.0,
-                             size)
+        # u8 straight through: the old u8->f32->u8 round trip cost a
+        # full-res float temp per texture on the scene-load path
+        return _mip_stack_u8(images_u8[img_idx], size)
 
     import concurrent.futures
 
@@ -283,14 +226,3 @@ def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
     return out
 
 
-def build_scene_atlas(image_refs, size: int = 1024, workers: int = 8
-                      ) -> tuple[TextureAtlas, int]:
-    """Decode + linearize + pack all ImageRefs of a scene; appends the
-    reference's fallback white texture (assets/white.png analog,
-    model.cpp:210-214) as the LAST layer and returns its index."""
-    decoded = decode_images_parallel([r.data for r in image_refs], workers)
-    linear = [to_linear_float(img, ref.srgb)
-              for img, ref in zip(decoded, image_refs)]
-    linear.append(np.ones((size, size, 4), np.float32))  # white fallback
-    atlas = pack_atlas(linear, size=size)
-    return atlas, atlas.num_layers - 1

@@ -471,15 +471,24 @@ def sky_from_lut(g, lut, depth_full, width: int, height: int,
     el = jnp.arcsin(jnp.clip(dy, -1.0, 1.0))
     lu = (az + jnp.pi) / (2.0 * jnp.pi)
     lv = (el + jnp.pi / 2) / jnp.pi
+    lut_h, lut_w = lut.shape[1], lut.shape[2]
     if dither:
-        lut_h, lut_w = lut.shape[1], lut.shape[2]
         pix = jnp.stack(
             [jnp.broadcast_to(px[None, :], (height, width)),
              jnp.broadcast_to(py[:, None], (height, width))], axis=-1)
         d16 = bayer16(pix) - 0.5                     # (height, width)
         lu = lu + d16 / lut_w
         lv = lv + d16 / lut_h
-    sky = sampling.sample_screen(lut, jnp.stack([lu, lv]))
+    # azimuth WRAPS: sample_screen clamps to edge, which would leave a
+    # vertical seam at az = ±pi (last LUT column never interpolates
+    # toward the first).  Route the bilinear through a 1-column-padded
+    # copy: texel i of the original sits at padded texel i+1, so
+    # u_p = (lu*W + 1)/(W + 2) reproduces the same taps with wrapped
+    # neighbours at both edges (also covers the ±half-texel dither).
+    lu = lu - jnp.floor(lu)
+    lut_p = jnp.concatenate([lut[:, :, -1:], lut, lut[:, :, :1]], axis=2)
+    lu_p = (lu * lut_w + 1.0) / (lut_w + 2.0)
+    sky = sampling.sample_screen(lut_p, jnp.stack([lu_p, lv]))
 
     d = sampling.sample_screen(depth_full, jnp.stack([u, v]))
     base = jnp.array([0.2, 0.4, 1.0], jnp.float32)[:, None, None]

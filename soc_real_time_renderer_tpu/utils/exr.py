@@ -92,9 +92,13 @@ def read_exr(path: str) -> tuple[np.ndarray, list[str]]:
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
     W, H = x1 - x0 + 1, y1 - y0 + 1
 
-    lines_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}.get(comp)
+    # only NONE/ZIPS/ZIP are decodable below — listing RLE(1)/PIZ(4)
+    # here would feed their compressed blocks straight to np.frombuffer
+    # as raw scanlines (garbage pixels) instead of erroring cleanly
+    lines_per_block = {0: 1, 2: 1, 3: 16}.get(comp)
     if lines_per_block is None:
-        raise ValueError(f"unsupported EXR compression {comp}")
+        raise ValueError(f"unsupported EXR compression {comp} "
+                         f"(NONE/ZIPS/ZIP supported)")
     n_blocks = -(-H // lines_per_block)
     offsets = struct.unpack_from(f"<{n_blocks}Q", buf, off)
 
@@ -103,8 +107,7 @@ def read_exr(path: str) -> tuple[np.ndarray, list[str]]:
     for bi, boff in enumerate(offsets):
         y, size = struct.unpack_from("<ii", buf, boff)
         data = buf[boff + 8:boff + 8 + size]
-        ny = min(lines_per_block, y1 - (y) + 1) if False else min(
-            lines_per_block, H - (y - y0))
+        ny = min(lines_per_block, H - (y - y0))
         raw_size = sum(bp * W for bp in bytes_per_px) * ny
         if comp in (2, 3):  # ZIPS / ZIP
             if size < raw_size:
@@ -128,10 +131,13 @@ def read_exr_rgba(path: str) -> np.ndarray:
     def find(n):
         return names.index(n) if n in names else -1
     r, g, b, a = find("R"), find("G"), find("B"), find("A")
-    if r < 0 and len(names) == 1:
+    if r < 0:
+        # no R channel: replicate the first color-ish channel (Y /
+        # luminance / single-plane heightmaps) — NEVER img[-1], which
+        # would silently substitute the last channel (e.g. alpha)
         r = 0
     out = np.zeros((H, W, 4), np.float32)
-    out[..., 0] = img[r] if r >= 0 else 0
+    out[..., 0] = img[r]
     out[..., 1] = img[g] if g >= 0 else img[r]
     out[..., 2] = img[b] if b >= 0 else img[r]
     out[..., 3] = img[a] if a >= 0 else 1.0

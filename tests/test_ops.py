@@ -281,6 +281,40 @@ def test_sky_lut_dither_restores_banding_noise():
     assert np.abs(dith - plain).max() > 0.0
 
 
+def test_sky_lut_azimuth_wraps_at_pi():
+    """The lat-long LUT lookup must interpolate across the az = ±pi
+    seam (last column <-> first column).  A synthetic LUT whose first
+    column is hot and the rest cold: a camera facing -X (azimuth at the
+    seam) must see energy bleeding across it; the old clamp-to-edge
+    lookup pinned those pixels to the cold last column exactly."""
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+    from soc_real_time_renderer_tpu.utils import mathutil as mu
+    import numpy as np
+
+    w, h = 64, 32
+    lut = np.zeros((3, 32, 64), np.float32)
+    lut[:, :, 0] = 1.0                       # hot column at az just > -pi
+    cam = Camera3D()
+    cam.resize(2 * w, 2 * h)
+    cam.view_mat = mu.look_at([0, 2, 0], [-1, 2, 0], [0, 1, 0])  # face -X
+    g = cfg.ShaderGlobals.create(
+        camera=camera_matrices(cam, [0, 2, 0], 1, 2 * w, 2 * h))
+    depth = jnp.ones((2 * h, 2 * w), jnp.float32)
+    sky = np.asarray(cl.sky_from_lut(g, jnp.asarray(lut), depth, w, h,
+                                     dither=False))
+    # facing -X, screen-left/right pixels sit at az just above -pi
+    # (lu ~ 0, blends INTO the hot column directly) and just below +pi
+    # (lu ~ 1, reaches the hot column ONLY through the wrap).  The old
+    # clamp-to-edge lookup pinned the lu~1 half to the cold last
+    # column: exactly zero energy on that side.
+    mid = sky[0, h // 2]
+    left, right = mid[:w // 2], mid[w // 2:]
+    assert left.max() > 0.05 and right.max() > 0.05, \
+        (left.max(), right.max(),
+         "one side of the az seam got no energy: clamping, not wrapping")
+
+
 def test_bloom_mxu_matches_oracles():
     """The MXU separable-banded bloom == the shift-chain oracle == the
     depthwise-conv path (all three implement bloom_downsample.inl /

@@ -70,16 +70,21 @@ def sample_screen(img, uv, method: str = "linear"):
         # [img, img(x+1), img(y+1), img(x+1,y+1)] on the row axis turns
         # the 4 bilinear corner gathers into one (~4x fewer indices).
         # shift() clamps to edge, which matches the clip of x1i/y1i in
-        # the direct 4-gather form exactly (including uv outside [0,1]).
+        # the direct 4-gather form (including uv past the high edge).
         tab = jnp.concatenate(
             [img, shift(img, 1, 0), shift(img, 0, 1), shift(img, 1, 1)],
             axis=0).reshape(4 * C, H * W)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        x0i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+        y0i = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+        # fractions RELATIVE TO THE CLIPPED base, clamped to [0, 1]:
+        # for x in (-1, 0) the unclipped fraction (x - floor(x)) would
+        # blend texel 1 in with weight up to ~1 (a hard discontinuity
+        # just left of u = 0.5/W), where the clamp-to-edge sampler being
+        # emulated clamps BOTH corners to texel 0.  fx = clip(x - x0i)
+        # reproduces that: 0 below the low edge, the plain fraction in
+        # the interior, 1 past the high edge (corner row then clamps).
+        fx = jnp.clip(x - x0i, 0.0, 1.0)
+        fy = jnp.clip(y - y0i, 0.0, 1.0)
         c = tab[:, jax.lax.optimization_barrier(y0i * W + x0i)]
         c00, c10 = c[:C], c[C:2 * C]
         c01, c11 = c[2 * C:3 * C], c[3 * C:]

@@ -3,8 +3,10 @@
 Port of ``screen_space_reflection.inl:74-186``: view-space ray march
 (50 iterations, exponential step x1.05, adaptive direction) followed by
 binary-search refinement using the *remaining* iteration budget; hit
-when |delta| < 0.05.  Non-metallic pixels (metallic < 0.01) and misses
-pass the albedo through (``:169-174, 180-183``).
+when |delta| < 0.05.  Non-metallic pixels (metallic < 0.01) pass the
+albedo through (``:175-178``); MISSES output black — the shader's
+albedo fallback at ``:184-186`` is dead code, since ``out_ssr``'s alpha
+is written 1.0 at ``:183`` and ``out_ssr == vec4(0.0)`` can never hold.
 
 Reference quirks: the march compares |view z|; the declared min/max HiZ
 inputs are never read by the shader (``:17-18``) — same here (the
@@ -65,7 +67,7 @@ def ssr(depth, albedo, normal, metallic_roughness, g):
     march0 = pos + step0
 
     def body(i, st):
-        step, mpos, delta_prev, phase, found, hit_uv = st
+        step, mpos, phase, found, hit_uv = st
         spos, delta = probe(mpos)
         hit = (jnp.abs(delta) < DISTANCE_BIAS) & ~found
         found_n = found | hit
@@ -88,15 +90,20 @@ def ssr(depth, albedo, normal, metallic_roughness, g):
                            jnp.where(binary[None], b_step, step))
         mpos_n = jnp.where(advance[None], m_pos,
                            jnp.where(binary[None], b_pos, mpos))
-        return (step_n, mpos_n, delta, phase_n, found_n, hit_uv)
+        return (step_n, mpos_n, phase_n, found_n, hit_uv)
 
-    init = (step0, march0, jnp.zeros((H, W), jnp.float32),
+    init = (step0, march0,
             jnp.zeros((H, W), jnp.int32), jnp.zeros((H, W), bool),
             jnp.zeros((2, H, W), jnp.float32))
-    _, _, _, _, found, hit_uv = lax.fori_loop(0, ITERATIONS, body, init)
+    _, _, _, found, hit_uv = lax.fori_loop(0, ITERATIONS, body, init)
 
     hit_color = sampling.sample_screen(albedo, hit_uv)        # (3, H, W)
     metallic = metallic_roughness[1]
-    out = jnp.where(found[None], hit_color, albedo)           # miss -> albedo
+    # miss -> BLACK: the reference's albedo fallback at
+    # screen_space_reflection.inl:184-186 is dead code — out_ssr's
+    # alpha is written 1.0 at :183, so `out_ssr == vec4(0.0)` never
+    # holds and a missed march outputs vec4(0,0,0,1).  Only the
+    # non-reflective early-out (:175-178, metallic < 0.01) gets albedo.
+    out = jnp.where(found[None], hit_color, 0.0)
     out = jnp.where((metallic < 0.01)[None], albedo, out)
     return out

@@ -57,8 +57,6 @@ def _taa_kernel(params_ref, vel_ref, hist_ref, out_ref, oow_ref, win,
     y = v * h_glob - 0.5 - row0
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    fx = x - x0f
-    fy = y - y0f
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
     x1 = jnp.clip(x0 + 1, 0, W - 1)
     # screen-edge clamp in band-local coords ([-row0, h_glob-1-row0];
@@ -66,6 +64,11 @@ def _taa_kernel(params_ref, vel_ref, hist_ref, out_ref, oow_ref, win,
     r0i = row0.astype(jnp.int32)
     y0 = jnp.clip(y0f.astype(jnp.int32), -r0i, h_glob - 1 - r0i)
     y1 = jnp.clip(y0 + 1, -r0i, h_glob - 1 - r0i)
+    # fractions vs the CLIPPED base, clamped to [0, 1] — matches
+    # sample_screen's clamp-to-edge emulation: just below the low edge
+    # both corners are texel 0 (fx = 0), not a blend toward texel 1
+    fx = jnp.clip(x - x0.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(y - y0.astype(jnp.float32), 0.0, 1.0)
 
     # out-of-window: any corner outside the DMA'd window
     oow = ((x0 < ox) | (x1 > ox + WL - 1)

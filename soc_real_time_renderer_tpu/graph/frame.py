@@ -272,6 +272,14 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     vis = dataclasses.replace(vis, depth=rows(vis.depth),
                               tri_id=rows(vis.tri_id))
     shadow_map = rows(shadow_map) if shadow_map is not None else None
+    # one resolution of the backend-default interpret flag and the
+    # (mesh, axis) shard tuple for the whole stage — the Pallas call
+    # sites below must all see the SAME values
+    interp = plan.interpret
+    if interp is None:
+        interp = jax.default_backend() not in ("tpu", "axon")
+    sharded = plan.shard_mesh is not None and plan.shard_axis is not None
+    shard = (plan.shard_mesh, plan.shard_axis) if sharded else None
 
     # ---- Min/Max HiZ pyramids (T2/T3, renderer.cpp:988-1001): the
     # reference dispatches both every frame even though nothing reads
@@ -286,9 +294,6 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     # ---- deferred G-buffer resolve (T6 fragment semantics); the
     # texture tap runs in the tile-resident Pallas sampler when the
     # batch carries an atlas page (ops/texsample.py)
-    interp = plan.interpret
-    if interp is None:
-        interp = jax.default_backend() not in ("tpu", "axon")
     # "auto" uses the tile sampler only where it wins: the XLA gather's
     # cost scales with the atlas working set, so a single-material
     # atlas (16 MB expanded — helmet, terrain) gathers near cache
@@ -300,6 +305,14 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     impl = plan.texture_impl
     if impl == "auto":
         impl = "pallas" if plan.atlas_num_materials >= 2 else "xla"
+    elif impl == "pallas" and batch.atlas_page is None:
+        # explicit request must not silently degrade to the gather:
+        # single-material scenes skip the page build by default
+        # (scene_batch.build_scene_batch build_page auto)
+        raise ValueError(
+            "texture_impl='pallas' but batch.atlas_page is None — build "
+            "the scene with build_page=True (scenes.build(..., "
+            "build_page=True)) or leave texture_impl='auto'.")
     use_page = impl == "pallas" and batch.atlas_page is not None
     gbuf, tex_overflow = gbuf_ops.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
@@ -308,9 +321,7 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         atlas_page=batch.atlas_page if use_page else None,
         num_materials=plan.atlas_num_materials,
         tex_dirty_cap=plan.tex_dirty_cap, interpret=interp,
-        shard=((plan.shard_mesh, plan.shard_axis)
-               if plan.shard_mesh is not None
-               and plan.shard_axis is not None else None))
+        shard=shard)
     overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole
@@ -329,14 +340,18 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
 
     # ---- SSAO + blur (T9/T10), half resolution
     ssao = None
-    sharded = plan.shard_mesh is not None and plan.shard_axis is not None
     # SSAO row bands need halo_bot=96 rows per shard; smaller bands
     # (tiny test screens) fall back to the XLA impl, which the SPMD
-    # partitioner shards natively
-    ssao_band_ok = (sharded and cfg.height
-                    % plan.shard_mesh.shape[plan.shard_axis] == 0
-                    and cfg.height
-                    // plan.shard_mesh.shape[plan.shard_axis] >= 96)
+    # partitioner shards natively.  Bands must also be EVEN (and the
+    # width even): ssao_generate_pallas requires even dims for its
+    # reshape-mean half-res, and in row-band mode it asserts instead of
+    # falling back — odd bands take the XLA path here instead.
+    if sharded:
+        _n_bands = plan.shard_mesh.shape[plan.shard_axis]
+        _band_h = cfg.height // _n_bands
+    ssao_band_ok = (sharded and cfg.height % _n_bands == 0
+                    and _band_h >= 96 and _band_h % 2 == 0
+                    and cfg.width % 2 == 0)
     if cfg.enable_ssao:
         if cfg.ssao_impl == "pallas" and sharded and ssao_band_ok:
             # production kernel under SPMD: row bands + halo exchange
@@ -393,9 +408,6 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     clouds_half = None
     if cfg.enable_clouds:
         hw, hh = cfg.width // 2, cfg.height // 2
-        interp = plan.interpret
-        if interp is None:
-            interp = jax.default_backend() not in ("tpu", "axon")
         if cfg.cloud_noise_mode == "texture" and batch.cloud_noise is None:
             # requested the real-noise texture but the asset is missing:
             # outputs change shape class (procedural value noise), so
@@ -477,8 +489,7 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                                history.previous_velocity,
                                g.frame_counter, (cfg.height, cfg.width),
                                impl=cfg.taa_impl, interpret=plan.interpret,
-                               shard=((plan.shard_mesh, plan.shard_axis)
-                                      if sharded else None))
+                               shard=shard)
     else:
         resolved = hdr
 
@@ -519,7 +530,14 @@ def check_sun_proof(plan: FramePlan, g: ShaderGlobals):
         return
     pv = g.sun.projection_view
     if isinstance(pv, jax.core.Tracer):
-        return  # traced: the host-side wrapper already checked
+        # Traced (inside jit/vmap): values are unavailable, so the
+        # check must happen host-side BEFORE dispatch.  Both jit entry
+        # points do this — make_render_fn's `checked` wrapper and
+        # parallel.mesh.make_batched_render_fn's (which passes the
+        # batched (B, 4, 4) projection_view; allclose broadcasts).
+        # Anyone jitting render_frame directly must call
+        # check_sun_proof themselves or forgo elision.
+        return
     import numpy as np
     proved = np.asarray(plan.proved_sun_pv, np.float32).reshape(4, 4)
     if not np.allclose(np.asarray(pv), proved, atol=1e-6):

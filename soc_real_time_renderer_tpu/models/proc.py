@@ -94,7 +94,14 @@ def _sponza_materials(texture_dir: str, count: int = 5):
     def uri(slot):
         if slot is None:
             return None
-        return uris[tsrc[slot["index"]]]
+        src = tsrc[slot["index"]]
+        if src < 0:
+            # texture without a top-level "source" (e.g. the image
+            # lives in an extension like KHR_texture_basisu) — skip the
+            # material rather than let uris[-1] silently alias the
+            # LAST image
+            return None
+        return uris[src]
 
     picks = []
     for m in g.get("materials", []):

@@ -114,9 +114,18 @@ def split_large_triangles(pos, nrm, uv, ent, mat, max_extent: float,
 
 
 def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
-                      workers: int = 8, split_extent_frac: float = 0.125
+                      workers: int = 8, split_extent_frac: float = 0.125,
+                      build_page: bool | None = None,
                       ) -> tuple[SceneBatch, PackedMaterialAtlas]:
-    """models[i] belongs to mesh-entity i (creation order)."""
+    """models[i] belongs to mesh-entity i (creation order).
+
+    build_page: whether to build (and later upload) the tile-sampler
+    atlas page.  None = auto: only multi-material atlases, matching
+    frame.py's texture_impl="auto" crossover — single-material scenes
+    always resolve to the XLA gather, so their ~30-40 MB/material bf16
+    page would be built and device_put for nothing.  Pass True when
+    texture_impl="pallas" will be forced on a single-material scene.
+    """
     all_materials, all_images, mat_offsets = [], [], []
     for m in models:
         mat_offsets.append(len(all_materials))
@@ -179,15 +188,20 @@ def build_scene_batch(models: list[ModelData], atlas_size: int = 1024,
         ter,
     ], axis=0)
 
-    from ..ops import texsample
-    page = texsample.build_atlas_page(atlas)
+    if build_page is None:
+        build_page = atlas.num_materials >= 2
+    page_dev = None
+    if build_page:
+        from ..ops import texsample
+        page = texsample.build_atlas_page(atlas)
+        page_dev = texsample.AtlasPageDevice(
+            page=page.page, row0=page.row0, col0=page.col0)
     batch = SceneBatch(
         tri_pos=np.ascontiguousarray(pos.transpose(1, 2, 0)),
         tri_nrm=np.ascontiguousarray(nrm.transpose(1, 2, 0)),
         tri_uv=np.ascontiguousarray(uv.transpose(1, 2, 0)),
         tri_entity=ent, static_rows=has,
         atlas_packed=expand_atlas_bilinear(atlas),
-        atlas_page=texsample.AtlasPageDevice(
-            page=page.page, row0=page.row0, col0=page.col0),
+        atlas_page=page_dev,
     )
     return batch, atlas

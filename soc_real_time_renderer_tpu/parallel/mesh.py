@@ -62,7 +62,22 @@ def make_batched_render_fn(plan: frame_mod.FramePlan, mesh: Mesh,
             colors, NamedSharding(mesh, P("dp", None, row_axis, None)))
         return colors, new_hist
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+    if not plan.shadow_statically_empty:
+        return jitted
+
+    def checked(batch, globals_batch, history_batch, model_mats,
+                normal_mats):
+        # same host-side guard make_render_fn applies: inside jit the
+        # sun is a Tracer and check_sun_proof cannot compare it, so the
+        # elision proof must be validated here, per batched camera
+        # (projection_view is (B, 4, 4); np.allclose broadcasts vs the
+        # proved (4, 4))
+        frame_mod.check_sun_proof(plan, globals_batch)
+        return jitted(batch, globals_batch, history_batch, model_mats,
+                      normal_mats)
+
+    return checked
 
 
 def make_sharded_shade_fn(plan: frame_mod.FramePlan, mesh: Mesh,

@@ -121,7 +121,9 @@ class BuiltScene:
                          camera_pos=self.camera_position,
                          camera_target=self.camera_target,
                          animate=self.animate,
-                         atlas_size=old.atlas_size)
+                         atlas_size=old.atlas_size,
+                         build_page=(True if old.texture_impl == "pallas"
+                                     else None))
             self.batch = nb.batch
             self._proof_pos = self._proof_ent = None
             self.plan = _dc.replace(
@@ -246,13 +248,14 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
 
 
 def _finish(scene, models, config, camera_pos, camera_target, animate=False,
-            atlas_size=1024):
+            atlas_size=1024, build_page=None):
     # bound the composition light scans by the actual scene lights
     lights = scene.update(0.0)
     config = config.replace(
         max_point_lights=int(lights.point_count),
         max_spot_lights=int(lights.spot_count))
-    batch, atlas = build_scene_batch(models, atlas_size=atlas_size)
+    batch, atlas = build_scene_batch(models, atlas_size=atlas_size,
+                                     build_page=build_page)
     # the reference's tiled cloud-noise texture (cloud_rendering.inl:
     # 219-233); sampled in VMEM by the Pallas sky kernel.  Missing
     # asset -> procedural-noise LUT fallback (frame.py).
@@ -319,7 +322,7 @@ def default_model():
     return _DEFAULT_MODEL
 
 
-def build_helmet(config: RenderConfig) -> BuiltScene:
+def build_helmet(config: RenderConfig, **kw) -> BuiltScene:
     """BASELINE config 1/2: DamagedHelmet (application.cpp:22-28)."""
     scene = Scene("helmet")
     e = scene.create_entity("damaged helmet model")
@@ -328,10 +331,11 @@ def build_helmet(config: RenderConfig) -> BuiltScene:
     mc.model = gltf.load_model(
         os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
     return _finish(scene, [mc.model], config,
-                   camera_pos=[0.0, 0.0, 2.5], camera_target=[0, 0, 0])
+                   camera_pos=[0.0, 0.0, 2.5], camera_target=[0, 0, 0],
+                   **kw)
 
 
-def build_helmet_lifted(config: RenderConfig) -> BuiltScene:
+def build_helmet_lifted(config: RenderConfig, **kw) -> BuiltScene:
     """Benchmark appendix variant (VERDICT r2 item 7): the helmet
     lifted to y=32, INSIDE the sun's ortho volume (y 24..56 around the
     y=40 light, renderer.cpp:110-112), so the 4096² shadow raster is
@@ -345,13 +349,13 @@ def build_helmet_lifted(config: RenderConfig) -> BuiltScene:
         os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
     built = _finish(scene, [mc.model], config,
                     camera_pos=[0.0, 32.0, 2.5],
-                    camera_target=[0, 32, 0])
+                    camera_target=[0, 32, 0], **kw)
     assert not built.plan.shadow_statically_empty, \
         "lifted helmet must defeat the elision proof"
     return built
 
 
-def build_sponza(config: RenderConfig) -> BuiltScene:
+def build_sponza(config: RenderConfig, **kw) -> BuiltScene:
     """BASELINE config 3/5 stand-in: procedural atrium with Sponza
     textures + the DamagedHelmet, matching application.cpp:14-28's
     two-entity layout (sponza scale 0.01 + helmet)."""
@@ -369,7 +373,8 @@ def build_sponza(config: RenderConfig) -> BuiltScene:
     mc2.model = gltf.load_model(
         os.path.join(ASSETS, "DamagedHelmet/glTF/DamagedHelmet.gltf"))
     return _finish(scene, [mc.model, mc2.model], config,
-                   camera_pos=[-7.0, 1.8, 0.0], camera_target=[0, 1.5, 0])
+                   camera_pos=[-7.0, 1.8, 0.0], camera_target=[0, 1.5, 0],
+                   **kw)
 
 
 def _terrain_model():
@@ -390,7 +395,7 @@ def _terrain_model():
     return terrain_mod.build_terrain_model(hm, alb)
 
 
-def build_terrain(config: RenderConfig) -> BuiltScene:
+def build_terrain(config: RenderConfig, **kw) -> BuiltScene:
     """BASELINE config 4: terrain + shadow + atmosphere sky."""
     scene = Scene("terrain")
     e = scene.create_entity("terrain")
@@ -398,10 +403,11 @@ def build_terrain(config: RenderConfig) -> BuiltScene:
     mc = e.add_component(MeshComponent())
     mc.model = _terrain_model()
     return _finish(scene, [mc.model], config,
-                   camera_pos=[20.0, 12.0, 20.0], camera_target=[50, 0, 50])
+                   camera_pos=[20.0, 12.0, 20.0], camera_target=[50, 0, 50],
+                   **kw)
 
 
-def build_full(config: RenderConfig) -> BuiltScene:
+def build_full(config: RenderConfig, **kw) -> BuiltScene:
     """BASELINE config 5: atrium + helmet + terrain, animated camera."""
     scene = Scene("full")
     e = scene.create_entity("sponza model")
@@ -422,18 +428,21 @@ def build_full(config: RenderConfig) -> BuiltScene:
     mc3.model = _terrain_model()
     return _finish(scene, [mc.model, mc2.model, mc3.model], config,
                    camera_pos=[-7.0, 1.8, 0.0], camera_target=[0, 1.5, 0],
-                   animate=True)
+                   animate=True, **kw)
 
 
-def build(name: str, config: RenderConfig) -> BuiltScene:
+def build(name: str, config: RenderConfig, **kw) -> BuiltScene:
+    """kw passes through to _finish (e.g. build_page=True to force the
+    tile-sampler atlas page on a single-material scene whose plan will
+    override texture_impl="pallas")."""
     if name == "helmet":
-        return build_helmet(config)
+        return build_helmet(config, **kw)
     if name == "helmet_lifted":
-        return build_helmet_lifted(config)
+        return build_helmet_lifted(config, **kw)
     if name == "sponza":
-        return build_sponza(config)
+        return build_sponza(config, **kw)
     if name == "terrain":
-        return build_terrain(config)
+        return build_terrain(config, **kw)
     if name == "full":
-        return build_full(config)
+        return build_full(config, **kw)
     raise ValueError(name)

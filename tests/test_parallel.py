@@ -87,7 +87,7 @@ def test_sharded_production_pallas_kernels():
     sharding — halo exchange via parallel/halo.py — and match the
     single-device pallas render."""
     cfg = RenderConfig(width=128, height=256, shadow_resolution=128)
-    b = scenes.build("helmet", cfg)
+    b = scenes.build("helmet", cfg, build_page=True)
     plan1 = dataclasses.replace(
         b.plan,
         main_grid=dataclasses.replace(b.plan.main_grid,

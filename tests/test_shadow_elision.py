@@ -84,6 +84,31 @@ def test_non_default_sun_rejected_when_elided():
         fm.render_frame(plan, built.batch, g_bad, hist, mm, nm)
 
 
+def test_batched_render_fn_also_guards_the_sun_proof():
+    """make_batched_render_fn jits render_frame directly (the sun is a
+    Tracer inside, so check_sun_proof cannot compare there) — its host
+    wrapper must apply the same guard make_render_fn does, per batched
+    camera."""
+    import jax
+    import pytest
+    from soc_real_time_renderer_tpu.parallel import mesh as pmesh
+    cfg = RenderConfig(width=128, height=128, shadow_resolution=128)
+    built = scenes.build("helmet", cfg)
+    assert built.plan.shadow_statically_empty
+    mesh = pmesh.make_mesh(min(2, len(jax.devices())), dp=1)
+    plan = dataclasses.replace(built.plan, interpret=True)
+    step = pmesh.make_batched_render_fn(plan, mesh)
+    g, mm, nm = built.frame_globals(1)
+    bad_sun = cfgm.SunInfo.create(position=(0.0, 10.0, 0.0))
+    g_bad = dataclasses.replace(g, sun=bad_sun)
+    globals_batch = pmesh.batched_globals([g_bad])
+    hist = fm.RenderHistory.create(cfg)
+    history_batch = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *[hist])
+    with pytest.raises(ValueError, match="different"):
+        step(built.batch, globals_batch, history_batch, mm, nm)
+
+
 def test_empty_map_composition_matches_all_ones_map():
     """compose(empty_shadow_map=True) == compose with a literal all-1.0
     map, including the volumetric branch."""

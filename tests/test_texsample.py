@@ -138,7 +138,7 @@ def test_frame_integration_pallas_vs_xla():
                        enable_clouds=False, enable_bloom=False,
                        enable_taa=False, enable_auto_exposure=False,
                        enable_hiz=False)
-    built = scenes.build("helmet", cfg)
+    built = scenes.build("helmet", cfg, build_page=True)
     g, mm, nm = built.frame_globals(1)
     hist = fm.RenderHistory.create(cfg)
     plan_p = dataclasses.replace(built.plan, interpret=True,

@@ -162,9 +162,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from soc_real_time_renderer_tpu.utils import compile_cache
+    compile_cache.enable()
 
     from soc_real_time_renderer_tpu import scenes
     from soc_real_time_renderer_tpu.config import RenderConfig

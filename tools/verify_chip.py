@@ -63,9 +63,8 @@ def main():
         # initializing the tunnel backend (see tools/render.py)
         jax.config.update("jax_platforms",
                           os.environ.get("JAX_PLATFORMS", "cpu"))
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from soc_real_time_renderer_tpu.utils import compile_cache
+    compile_cache.enable()
 
     backend = jax.default_backend()
     print(f"backend: {backend} ({jax.devices()[0]})", flush=True)

@@ -199,7 +199,8 @@ def main():
     from soc_real_time_renderer_tpu.ops import texsample as ts
 
     H, W = args.height, args.width
-    built = scenes.build(args.scene, RenderConfig(width=W, height=H))
+    built = scenes.build(args.scene, RenderConfig(width=W, height=H),
+                         build_page=True)
     plan = built.plan
     page = jax.device_put(built.batch.atlas_page)
 

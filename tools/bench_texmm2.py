@@ -170,7 +170,8 @@ def main():
     from soc_real_time_renderer_tpu.ops import texsample as ts
 
     H, W = 1088, 1920
-    built = scenes.build("full", RenderConfig(width=W, height=H))
+    built = scenes.build("full", RenderConfig(width=W, height=H),
+                         build_page=True)
     plan = built.plan
     page = jax.device_put(built.batch.atlas_page)
 

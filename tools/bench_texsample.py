@@ -65,8 +65,8 @@ def main():
     from soc_real_time_renderer_tpu.ops import texsample as ts
 
     H, W = args.height, args.width
-    built = scenes.build(args.scene,
-                         RenderConfig(width=W, height=H))
+    built = scenes.build(args.scene, RenderConfig(width=W, height=H),
+                         build_page=True)
     plan = built.plan
     # device-put: a host numpy page closed over by a jitted fn is baked
     # as a graph constant -> giant remote_compile request (HTTP 413)

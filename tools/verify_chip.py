@@ -59,10 +59,11 @@ def main():
 
     if args.allow_cpu:
         # the axon sitecustomize pins jax_platforms to the tunneled TPU
-        # past the env var; without this the CPU smoke hangs
-        # initializing the tunnel backend (see tools/render.py)
-        jax.config.update("jax_platforms",
-                          os.environ.get("JAX_PLATFORMS", "cpu"))
+        # past the env var; pin CPU outright — deferring to
+        # JAX_PLATFORMS would re-select the axon backend (the harness
+        # exports JAX_PLATFORMS=axon) and hang when the tunnel is down
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     from soc_real_time_renderer_tpu.utils import compile_cache
     compile_cache.enable()
 
@@ -84,7 +85,10 @@ def main():
 
     # ---- a small scene reused by the kernel checks
     cfg = RenderConfig(width=256, height=256, shadow_resolution=256)
-    built = scenes.build("helmet", cfg)
+    # build_page=True: helmet is single-material, whose batch skips the
+    # tile-sampler page by default — without it check 5 would compare
+    # the XLA gather against itself (vacuous pass)
+    built = scenes.build("helmet", cfg, build_page=True)
     g, mm, nm = built.frame_globals(1)
     plan = built.plan
 

@@ -300,6 +300,13 @@ class RenderConfig:
     # cloud_rendering.inl:219-233); "procedural" = XLA LUT with hash
     # value noise (gather-free fallback; shapes differ statistically).
     cloud_noise_mode: str = "texture"
+    # Reference QUADRANT quirk (kept by default): the half-res cloud
+    # pass divides its pixel coordinate by the FULL window resolution
+    # (cloud_rendering.inl:443-445 with renderer.cpp:829-831's
+    # half-size image), so sky rays + the depth sky-mask span only the
+    # top-left frustum quadrant, stretched fullscreen by composition
+    # (composition.inl:221).  True = corrected fullscreen ray span.
+    cloud_fullscreen_rays: bool = False
     enable_bloom: bool = True
     enable_taa: bool = True
     enable_auto_exposure: bool = True

@@ -438,7 +438,13 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                                             noise_tex=batch.cloud_noise)
         else:
             lut = clouds_ops.render_sky_lut(g)
-        clouds_half = clouds_ops.sky_from_lut(g, lut, vis.depth, hw, hh)
+        # QUADRANT quirk (config.cloud_fullscreen_rays docstring): pass
+        # the FULL resolution so the half-res rays/sky-mask span only
+        # the top-left frustum quadrant like the reference
+        clouds_half = clouds_ops.sky_from_lut(
+            g, lut, vis.depth, hw, hh,
+            full_width=None if cfg.cloud_fullscreen_rays else cfg.width,
+            full_height=None if cfg.cloud_fullscreen_rays else cfg.height)
         clouds_full = sampling.upsample_bilinear(clouds_half, cfg.height,
                                                  cfg.width)
 

@@ -182,7 +182,10 @@ def _load_buffers_and_blob(path: Path):
         elif uri.startswith("data:"):
             buffers.append(base64.b64decode(uri.split(",", 1)[1]))
         else:
-            buffers.append((path.parent / uri).read_bytes())
+            # glTF 2.0 URIs are percent-encoded ("scene%20data.bin" on
+            # disk is "scene data.bin") — decode like _image_bytes does
+            from urllib.parse import unquote
+            buffers.append((path.parent / unquote(uri)).read_bytes())
     return gltf, buffers, blob
 
 

@@ -142,12 +142,25 @@ def pack_material_atlas(materials, images_u8, size: int = 1024,
                           (layer_stride, 1))
     flat_zero = np.zeros((layer_stride, 4), np.uint8)
 
+    # per-image memo: materials commonly share images across slots and
+    # across materials (Sponza-style assets) — the 1024x1024 resize +
+    # full mip chain is built once per distinct image, not per use
+    _stack_cache: dict[int, np.ndarray] = {}
+    _cache_lock = __import__("threading").Lock()
+
     def mips_of(img_idx, fallback):
         if img_idx < 0 or img_idx >= len(images_u8):
             return fallback
+        with _cache_lock:
+            hit = _stack_cache.get(img_idx)
+        if hit is not None:
+            return hit
         # u8 straight through: the old u8->f32->u8 round trip cost a
         # full-res float temp per texture on the scene-load path
-        return _mip_stack_u8(images_u8[img_idx], size)
+        st = _mip_stack_u8(images_u8[img_idx], size)
+        with _cache_lock:
+            _stack_cache[img_idx] = st
+        return st
 
     import concurrent.futures
 

@@ -81,6 +81,23 @@ def _upsample2(img):
     return axis_up(axis_up(img, 2), 1)
 
 
+def _up2_to(t, dst_h, dst_w):
+    """x2 upsample fitted to (dst_h, dst_w).
+
+    Mip chains floor-divide (h_i = H >> i), so the destination of an
+    upsample is 2*src or 2*src + 1 per axis; an odd destination's last
+    row/col replicates the edge (the clamp-to-edge sampler's boundary
+    behaviour).  Slicing alone left the odd case one short and the
+    mip add failed to trace (review r3)."""
+    up = _upsample2(t)
+    ph = dst_h - up.shape[1]
+    pw = dst_w - up.shape[2]
+    assert -1 <= ph <= 1 and -1 <= pw <= 1, (t.shape, dst_h, dst_w)
+    if ph > 0 or pw > 0:
+        up = _edge_pad(up, 0, max(ph, 0), 0, max(pw, 0))
+    return up[:, :dst_h, :dst_w]
+
+
 def upsample_tent(src, dst_h, dst_w):
     """(3, h, w) lower mip -> (3, dst_h, dst_w) tent-filtered
     (tap offsets are in SOURCE texel units, upsample.inl:99-100)."""
@@ -90,8 +107,7 @@ def upsample_tent(src, dst_h, dst_w):
     t = t / 16.0
     if (dst_h, dst_w) == src.shape[1:]:
         return t
-    up = _upsample2(t)
-    return up[:, :dst_h, :dst_w]
+    return _up2_to(t, dst_h, dst_w)
 
 
 def bloom_shifts(emissive, mip_count: int = 4):
@@ -178,8 +194,7 @@ def upsample_tent_conv(src, dst_h, dst_w):
     t = _depthwise(_edge_pad(src, 1, 1, 1, 1), _kernel_tent())
     if (dst_h, dst_w) == src.shape[1:]:
         return t
-    up = _upsample2(t)
-    return up[:, :dst_h, :dst_w]
+    return _up2_to(t, dst_h, dst_w)
 
 
 def bloom_depthwise(emissive, mip_count: int = 4):
@@ -273,5 +288,4 @@ def _up_tent_mxu(src, dst_h, dst_w):
     t = _conv_sep_mxu(src, _kernel_tent())
     if (dst_h, dst_w) == src.shape[1:]:
         return t
-    up = _upsample2(t)
-    return up[:, :dst_h, :dst_w]
+    return _up2_to(t, dst_h, dst_w)

@@ -346,19 +346,35 @@ def _atmosphere(ray_dir, origin, sun_dir, elapsed_time,
     return jnp.where(miss[..., None], 0.0, out)
 
 
-def render_clouds(g, depth_full, noise_tex, width: int, height: int):
+def render_clouds(g, depth_full, noise_tex, width: int, height: int,
+                  full_width: int | None = None,
+                  full_height: int | None = None):
     """The full T12 compute pass at half resolution.
 
     depth_full: (H, W) full-res depth (sampled for the sky test);
     noise_tex: (N, N) float32 tiled noise (assets/Clouds/noise.png R).
     Returns (3, height, width) sky colour (half res).
+
+    full_width/full_height: the reference QUADRANT quirk — its clouds
+    image is half the window (renderer.cpp:829-831) but the shader
+    divides the half-res pixel coordinate by the FULL window resolution
+    (``ray_uv = pixel / (globals.resolution - 1)``,
+    cloud_rendering.inl:443-445), so ray_uv spans only [0, ~0.5]²: the
+    pass marches the top-left frustum quadrant (and samples the
+    top-left of the depth buffer for its sky mask), and composition
+    stretches that quadrant over the whole screen by sampling the
+    half-res image at full-screen uv (composition.inl:221).  Pass the
+    full-res dimensions to reproduce it; None = rays span the whole
+    frustum (the corrected behaviour, used by the LUT-error tests).
     """
     from . import sampling
+    fw = width if full_width is None else full_width
+    fh = height if full_height is None else full_height
     px = jnp.arange(width, dtype=jnp.float32)
     py = jnp.arange(height, dtype=jnp.float32)
     pix = jnp.stack(jnp.meshgrid(px, py, indexing="xy"), -1)  # (h, w, 2)
-    # :445 quirk: uv = pixel / (resolution - 1)
-    ray_uv = pix / jnp.array([width - 1.0, height - 1.0], jnp.float32)
+    # :445 quirk: uv = pixel / (resolution - 1), resolution = FULL window
+    ray_uv = pix / jnp.array([fw - 1.0, fh - 1.0], jnp.float32)
     ndc = ray_uv * 2.0 - 1.0
 
     inv_p = g.camera.inv_projection
@@ -436,11 +452,17 @@ def render_sky_lut(g, lut_w: int = 256, lut_h: int = 128,
 
 
 def sky_from_lut(g, lut, depth_full, width: int, height: int,
-                 dither: bool = True):
+                 dither: bool = True,
+                 full_width: int | None = None,
+                 full_height: int | None = None):
     """Per-pixel sky via LUT lookup at the pixel's ray direction.
 
     Matches render_clouds' ray construction (:445-455 quirks: uv uses
-    resolution-1; view ray built from inverse view of (vx, vy, -1, 0)).
+    resolution-1; view ray built from inverse view of (vx, vy, -1, 0)),
+    including the QUADRANT quirk when full_width/full_height are given
+    (see render_clouds: the half-res pixel is divided by the FULL
+    window resolution, so rays and the depth sky-mask cover only the
+    top-left frustum quadrant, which composition stretches fullscreen).
     Returns (3, height, width) half-res sky colour.
 
     dither: offset the LUT lookup by the reference's bayer16 pattern
@@ -450,10 +472,12 @@ def sky_from_lut(g, lut, depth_full, width: int, height: int,
     reference shows (VERDICT r2 item 6).
     """
     from . import sampling
+    fw = width if full_width is None else full_width
+    fh = height if full_height is None else full_height
     px = jnp.arange(width, dtype=jnp.float32)
     py = jnp.arange(height, dtype=jnp.float32)
-    u = jnp.broadcast_to(px[None, :] / (width - 1.0), (height, width))
-    v = jnp.broadcast_to(py[:, None] / (height - 1.0), (height, width))
+    u = jnp.broadcast_to(px[None, :] / (fw - 1.0), (height, width))
+    v = jnp.broadcast_to(py[:, None] / (fh - 1.0), (height, width))
     ndc_x = u * 2.0 - 1.0
     ndc_y = v * 2.0 - 1.0
 

@@ -11,6 +11,7 @@ whole subgraph is commented out of the reference frame
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import sampling
 
@@ -55,8 +56,11 @@ def depth_of_field(color, depth, g):
     max_coc = jnp.abs(g.aperture * max_num / jnp.where(den != 0, den, 1e-6))
     coc = coc / jnp.maximum(max_coc, 1e-6)
 
-    # textureGrad with gradient (coc, coc) -> lod = log2(coc * size)
-    lod = jnp.log2(jnp.maximum(coc * W, 1e-6))
+    # textureGrad with gradient ddx = ddy = (coc, coc) in uv units
+    # (depth_of_field.inl:191-194): the Vulkan LOD rule scales to texel
+    # space and takes rho = sqrt((du)^2 + (dv)^2) = coc * sqrt(W^2+H^2)
+    # (both gradient vectors are equal here), lambda = log2(rho)
+    lod = jnp.log2(jnp.maximum(coc * float(np.hypot(W, H)), 1e-6))
     levels = build_mips_device(color)
 
     def offs(dx, dy):
@@ -66,8 +70,10 @@ def depth_of_field(color, depth, g):
            + _sample_mip(levels, offs(-1.0 / W, 0.0), lod)
            + _sample_mip(levels, offs(0.0, 1.0 / H), lod)
            + _sample_mip(levels, offs(0.0, -1.0 / H), lod)) * 0.25
-    sharp = sampling.sample_screen(color, uv)
-    return jnp.where((depth < 1.0)[None], acc, sharp)
+    # the sky branch samples color at the pixel centre (texture(...,
+    # in_uv), :197) — bilinear at exact centres is the identity, so no
+    # resample gather is spent
+    return jnp.where((depth < 1.0)[None], acc, color)
 
 
 def display_attachment(image, out_h, out_w):

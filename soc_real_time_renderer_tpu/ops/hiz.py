@@ -24,7 +24,6 @@ def _reduce2x2(x, op):
     pad_h = H % 2
     pad_w = W % 2
     if pad_h or pad_w:
-        pad_val = x[-1:, :] if pad_h else None
         x = jnp.pad(x, ((0, pad_h), (0, pad_w)), mode="edge")
         H, W = x.shape
     x = x.reshape(H // 2, 2, W // 2, 2)

@@ -51,6 +51,18 @@ TRI = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
 TRI2 = TRI + np.array([2.0, 0, 0], np.float32)
 
 
+def test_percent_encoded_buffer_uri(tmp_path):
+    """glTF 2.0 URIs are percent-encoded: a buffer named
+    "scene%20data.bin" must load the on-disk file "scene data.bin"
+    (images already did this via unquote; buffers did not)."""
+    raw = TRI.astype(np.float32).tobytes()
+    (tmp_path / "scene data.bin").write_bytes(raw)
+    doc = _tri_doc(TRI, extra={"nodes": [{"mesh": 0}]})
+    doc["buffers"] = [{"uri": "scene%20data.bin", "byteLength": len(raw)}]
+    m = gltf.load_model(_write(tmp_path, doc))
+    assert len(m.triangles) == 1
+
+
 def test_no_scenes_child_nodes_load_once(tmp_path):
     """No "scenes" key + a root whose child also has a mesh: the child
     must load exactly once (2 triangles, not 3)."""

@@ -218,6 +218,41 @@ def test_sky_lut_matches_exact_path():
     assert abs(approx.mean() - exact.mean()) / scale < 0.04
 
 
+def test_cloud_quadrant_quirk_subimage_property():
+    """Reference QUADRANT quirk (cloud_rendering.inl:443-445 +
+    renderer.cpp:829-831): the half-res pass divides its pixel coord by
+    the FULL window resolution, so a quirked (w, h) render must equal
+    the top-left (w, h) crop of a fullscreen-span (W, H) render — both
+    evaluate rays at uv = i/(W-1).  Holds for the exact march and the
+    LUT lookup (dither uses local pixel coords, identical on the
+    crop)."""
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+    from soc_real_time_renderer_tpu.ops import clouds as cl
+
+    w, h = 16, 8
+    W, H = 2 * w, 2 * h
+    cam = Camera3D()
+    cam.resize(W, H)
+    g = cfg.ShaderGlobals.create(
+        camera=camera_matrices(cam, [0, 2, 0], 1, W, H))
+    depth = jnp.ones((H, W), jnp.float32)
+
+    quirk = np.asarray(cl.render_clouds(g, depth, None, w, h,
+                                        full_width=W, full_height=H))
+    full = np.asarray(cl.render_clouds(g, depth, None, W, H))
+    np.testing.assert_allclose(quirk, full[:, :h, :w], atol=1e-6)
+
+    lut = cl.render_sky_lut(g, lut_w=64, lut_h=32)
+    quirk_l = np.asarray(cl.sky_from_lut(g, lut, depth, w, h,
+                                         full_width=W, full_height=H))
+    full_l = np.asarray(cl.sky_from_lut(g, lut, depth, W, H))
+    np.testing.assert_allclose(quirk_l, full_l[:, :h, :w], atol=1e-6)
+    # the quirk genuinely restricts the ray span: the crop differs from
+    # the fullscreen-span half-res render
+    plain = np.asarray(cl.sky_from_lut(g, lut, depth, w, h))
+    assert np.abs(quirk_l - plain).max() > 1e-4
+
+
 def test_sky_lut_error_sweep_sun_angles():
     """Bound the LUT-vs-exact cloud deviation over a sweep of sun
     elevations and camera headings at the PRODUCTION LUT size
@@ -324,5 +359,21 @@ def test_bloom_mxu_matches_oracles():
     a = np.asarray(bloom.bloom(img))
     b = np.asarray(bloom.bloom_shifts(img))
     c = np.asarray(bloom.bloom_depthwise(img))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a, c, atol=2e-4)
+
+
+def test_bloom_odd_mip_dimensions():
+    """Odd sizes anywhere in the mip chain (e.g. 1366 -> 683 -> 341 ->
+    170) must still trace: the x2 upsample back to an odd level is one
+    row/col short and previously failed the additive mip add with a
+    broadcast shape error (review r3).  All three impls must agree on
+    the odd chain too."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((3, 37, 85), dtype=np.float32) * 3.0)
+    a = np.asarray(bloom.bloom(img, mip_count=4))        # 85->42->21->10
+    assert a.shape == (3, 37, 85) and np.isfinite(a).all()
+    b = np.asarray(bloom.bloom_shifts(img, mip_count=4))
+    c = np.asarray(bloom.bloom_depthwise(img, mip_count=4))
     np.testing.assert_allclose(a, b, atol=2e-4)
     np.testing.assert_allclose(a, c, atol=2e-4)

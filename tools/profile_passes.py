@@ -140,7 +140,9 @@ def main():
     lut = clouds_ops.render_sky_lut(g)
     timed("clouds lookup",
           lambda l, d: clouds_ops.sky_from_lut(g, l, d, cfg.width // 2,
-                                               cfg.height // 2),
+                                               cfg.height // 2,
+                                               full_width=cfg.width,
+                                               full_height=cfg.height),
           lut, vis.depth)
     ssao_full = jnp.ones_like(vis.depth)
     # pass the scene's STATIC light counts like render_frame does — the

@@ -86,6 +86,7 @@ void scatter_planar_u8(const uint8_t* texels, int64_t n,
 
 // EXR ZIP predictor + interleave (utils/exr.py hot loop).
 void exr_unpredict(uint8_t* data, int64_t n) {
+    if (n <= 0) return;  // degenerate block: data[0]/tmp[0] would be OOB
     std::vector<uint8_t> tmp(n);
     int acc = data[0];
     tmp[0] = (uint8_t)acc;

@@ -493,7 +493,7 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         resolved = taa_ops.taa(hdr, vis.depth, velocity,
                                history.previous_color,
                                history.previous_velocity,
-                               g.frame_counter, (cfg.height, cfg.width),
+                               g.frame_counter,
                                impl=cfg.taa_impl, interpret=plan.interpret,
                                shard=shard)
     else:

@@ -15,7 +15,7 @@ import numpy as np
 from .gltf import ImageRef, MaterialData, ModelData, PrimitiveRange
 
 
-def _mesh_from_quads(quads, material, uv_scale=1.0):
+def _mesh_from_quads(quads, uv_scale=1.0):
     """quads: list of (p0, p1, p2, p3) CCW (seen from outside)."""
     pos, nrm, uv, idx = [], [], [], []
     for q in quads:
@@ -184,10 +184,9 @@ def build_atrium(texture_dir: str | None = None, target_tris: int = 260_000,
     groups.append((crates, 4))
 
     pos_l, nrm_l, uv_l, idx_l, prims = [], [], [], [], []
-    tri_mats = []
     voff = ioff = 0
     for quads, mat in groups:
-        p, n, u, ix = _mesh_from_quads(quads, mat, uv_scale=1 / 300.0)
+        p, n, u, ix = _mesh_from_quads(quads, uv_scale=1 / 300.0)
         pos_l.append(p)
         nrm_l.append(n)
         uv_l.append(u)

@@ -28,8 +28,7 @@ GAUSS = [1 / 16, 1 / 8, 1 / 16,
 
 
 def taa(color, depth, velocity, prev_color, prev_velocity, frame_counter,
-        resolution_hw, impl: str = "xla", interpret: bool | None = None,
-        shard=None):
+        impl: str = "xla", interpret: bool | None = None, shard=None):
     """color/prev_color: (3, H, W); depth: (H, W); velocity/prev_velocity:
     (2, H, W); frame_counter: () int32.  Returns resolved (3, H, W).
 

@@ -40,6 +40,7 @@ class BuiltScene:
     camera_position: np.ndarray
     camera_target: np.ndarray
     animate: bool = False
+    sun: SunInfo | None = None   # live-edited sun (viewer); None = default
 
     def apply_input(self, inp, dt: float) -> None:
         """Interactive fly-camera input (ControlledCamera3D), used by
@@ -56,6 +57,21 @@ class BuiltScene:
                 np.float32)
             self.animate = False
         self._fly.update(inp, dt)
+
+    def set_sun(self, position=None, angle_direction_deg=None) -> None:
+        """Live sun edit (the reference's sun-position ImGui control,
+        renderer.cpp:683-767): rebuilds the sun matrices AND re-proves
+        the shadow-elision plan against them — a moved sun can put
+        geometry inside the volume, and the stale proof would otherwise
+        be rejected at dispatch (check_sun_proof).  Follow with
+        rebuild() or rely on the caller's rebuild flag."""
+        kw = {}
+        if position is not None:
+            kw["position"] = tuple(float(v) for v in position)
+        if angle_direction_deg is not None:
+            kw["angle_direction_deg"] = tuple(
+                float(v) for v in angle_direction_deg)
+        self.sun = SunInfo.create(**kw)
 
     def mesh_signature(self):
         """Identity of the renderable mesh set — changes exactly when a
@@ -112,7 +128,8 @@ class BuiltScene:
                 self._proof_ent = np.asarray(self.batch.tri_entity)
             empty, proved = _prove_shadow(self.batch, mm,
                                           pos=self._proof_pos,
-                                          ent=self._proof_ent)
+                                          ent=self._proof_ent,
+                                          sun=self.sun)
             self.plan = _dc.replace(old, config=cfg2,
                                     shadow_statically_empty=empty,
                                     proved_sun_pv=proved)
@@ -123,7 +140,8 @@ class BuiltScene:
                          animate=self.animate,
                          atlas_size=old.atlas_size,
                          build_page=(True if old.texture_impl == "pallas"
-                                     else None))
+                                     else None),
+                         sun=self.sun)
             self.batch = nb.batch
             self._proof_pos = self._proof_ent = None
             self.plan = _dc.replace(
@@ -151,6 +169,7 @@ class BuiltScene:
             lights = self.scene.update(dt)
             g = ShaderGlobals.create(
                 camera=cam, camera_prev=cam_prev, lights=lights,
+                sun=self.sun,
                 near_clip=self.camera.near_clip,
                 far_clip=self.camera.far_clip,
                 elapsed_time=np.float32(frame_index * dt),
@@ -176,7 +195,7 @@ class BuiltScene:
             self._prev_cam = cam
         lights = self.scene.update(dt)
         g = ShaderGlobals.create(
-            camera=cam, camera_prev=cam_prev, lights=lights,
+            camera=cam, camera_prev=cam_prev, lights=lights, sun=self.sun,
             near_clip=self.camera.near_clip, far_clip=self.camera.far_clip,
             elapsed_time=np.float32(frame_index * dt),
             delta_time=np.float32(dt),
@@ -185,29 +204,29 @@ class BuiltScene:
         return g, mm, nm
 
 
-def _prove_shadow(batch, model_mats, pos=None, ent=None):
+def _prove_shadow(batch, model_mats, pos=None, ent=None, sun=None):
     """(statically_empty, proved_sun_pv-or-None) for the GIVEN
-    transforms.  proved_sun_pv records WHICH sun the proof holds for;
-    make_render_fn rejects frames whose g.sun differs (ADVICE round 2,
-    scenes.py item).  pos/ent: optional pre-pulled host copies of
-    batch.tri_pos / batch.tri_entity (BuiltScene.rebuild's cheap path
-    caches them to avoid a per-edit device readback)."""
+    transforms and sun (None = the build-time default).  proved_sun_pv
+    records WHICH sun the proof holds for; make_render_fn rejects
+    frames whose g.sun differs (ADVICE round 2, scenes.py item).
+    pos/ent: optional pre-pulled host copies of batch.tri_pos /
+    batch.tri_entity (BuiltScene.rebuild's cheap path caches them to
+    avoid a per-edit device readback)."""
+    sun = sun if sun is not None else cfg_mod.SunInfo.create()
+    sun_pv = np.asarray(sun.projection_view, np.float32)
     empty = bool(_shadow_statically_empty(batch, np.asarray(model_mats),
-                                          pos=pos, ent=ent))
+                                          pos=pos, ent=ent, sun_pv=sun_pv))
     proved = None
     if empty:
-        proved = tuple(
-            float(v) for v in
-            np.asarray(cfg_mod.SunInfo.create().projection_view,
-                       np.float32).ravel())
+        proved = tuple(float(v) for v in sun_pv.ravel())
     return empty, proved
 
 
 def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
-                             pos=None, ent=None):
+                             pos=None, ent=None, sun_pv=None):
     """True iff all world-space vertices are strictly outside the sun
-    clip volume on one common side (z or x or y), for the build-time
-    sun matrices (config.SunInfo.create defaults = renderer.cpp:
+    clip volume on one common side (z or x or y), for the GIVEN sun
+    matrices (None = config.SunInfo.create defaults = renderer.cpp:
     108-133).  Conservative: any vertex in/straddling -> False."""
     from .config import SunInfo
     if pos is None:
@@ -215,7 +234,8 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
     if ent is None:
         ent = np.asarray(batch.tri_entity)          # (T,)
     M = model_mats[ent]                             # (T, 4, 4)
-    pv = np.asarray(SunInfo.create().projection_view)
+    pv = (np.asarray(SunInfo.create().projection_view)
+          if sun_pv is None else np.asarray(sun_pv))
     sides = []  # per-side "all outside" flags over every vertex
     zs, xs, ys = [], [], []
     for v in range(3):
@@ -248,7 +268,7 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
 
 
 def _finish(scene, models, config, camera_pos, camera_target, animate=False,
-            atlas_size=1024, build_page=None):
+            atlas_size=1024, build_page=None, sun=None):
     # bound the composition light scans by the actual scene lights
     lights = scene.update(0.0)
     config = config.replace(
@@ -290,7 +310,7 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     # side, no fragment can survive the shadow raster's clip, so the
     # map provably stays at its 1.0 clear and the pass is elided.
     mm_np, _ = scene.transform_matrices()
-    empty, proved = _prove_shadow(batch, np.asarray(mm_np))
+    empty, proved = _prove_shadow(batch, np.asarray(mm_np), sun=sun)
     plan = _dc.replace(plan, shadow_statically_empty=empty,
                        proved_sun_pv=proved)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
@@ -303,7 +323,7 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     bs = BuiltScene(scene=scene, batch=batch, plan=plan, camera=cam,
                     camera_position=np.asarray(camera_pos, np.float32),
                     camera_target=np.asarray(camera_target, np.float32),
-                    animate=animate)
+                    animate=animate, sun=sun)
     bs._models = list(models)        # rebuild() cheap-path key (strong refs)
     return bs
 
@@ -377,7 +397,11 @@ def build_sponza(config: RenderConfig, **kw) -> BuiltScene:
                    **kw)
 
 
-def _terrain_model():
+def _terrain_model(**build_kw):
+    """build_kw: build_terrain_model overrides (height_scale, midpoint,
+    scale, ...) — the viewer's live terrain edits re-bake through here
+    (models/terrain.py module docstring: parameters-to-geometry is a
+    host-side rebuild where the reference re-tessellates per frame)."""
     from .models import terrain as terrain_mod
     hm_path = os.environ.get("SOC_TERRAIN_HEIGHTMAP")
     hm = terrain_mod.load_heightmap(hm_path, n=512)
@@ -392,7 +416,7 @@ def _terrain_model():
                 np.float32) / 255.0
     else:
         alb = terrain_mod.default_albedo(hm)
-    return terrain_mod.build_terrain_model(hm, alb)
+    return terrain_mod.build_terrain_model(hm, alb, **build_kw)
 
 
 def build_terrain(config: RenderConfig, **kw) -> BuiltScene:

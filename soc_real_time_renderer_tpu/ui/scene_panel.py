@@ -75,19 +75,34 @@ class SceneHiearchyPanel:
     def create_entity(self, name="empty entity"):
         return self.scene.create_entity(name).eid
 
-    def destroy_entity(self, eid: int):
+    def destroy_entity(self, eid: int) -> bool:
+        # stale id (double-click / second tab): no-op, not a KeyError
+        # out of the HTTP handler
+        if eid not in self.scene._components:
+            return False
         self.scene.destroy_entity(Entity(eid, self.scene))
         if self.selected == eid:
             self.selected = None
+        return True
 
     def add_component(self, eid: int, type_name: str):
-        comp = Entity(eid, self.scene).add_component(_ADDABLE[type_name]())
+        # tolerate stale ids, unknown types and duplicate adds (the
+        # browser can re-send before its schema refresh lands)
+        ctype = _ADDABLE.get(type_name)
+        if ctype is None or eid not in self.scene._components:
+            return None
+        ent = Entity(eid, self.scene)
+        if ent.has_component(ctype):
+            return None
+        comp = ent.add_component(ctype())
         if isinstance(comp, MeshComponent) and self.model_loader:
             comp.model = self.model_loader()
         return comp
 
     def set_property(self, eid: int, comp_name: str, prop: str, value):
-        comps = self.scene._components[eid]
+        comps = self.scene._components.get(eid)
+        if comps is None:       # destroyed under a concurrent editor
+            return False
         for ctype, comp in comps.items():
             if ctype.__name__ != comp_name:
                 continue

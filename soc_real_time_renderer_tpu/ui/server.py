@@ -45,13 +45,16 @@ async function loop(){
  const inp={forward:!!keys['w'],back:!!keys['s'],left:!!keys['a'],right:!!keys['d'],
   up:!!keys[' '],down:!!keys['control'],sprint:!!keys['shift'],dx:mx,dy:my};
  mx=0;my=0;
- await fetch('/input',{method:'POST',body:JSON.stringify(inp)});
+ try{await fetch('/input',{method:'POST',body:JSON.stringify(inp)})}catch(e){}
  const img=new Image();
  img.onload=()=>{c.width=img.width;c.height=img.height;ctx2.drawImage(img,0,0);
   frames++;const dt=performance.now()-t0;if(dt>1000){
   document.getElementById('fps').innerText=(frames*1000/dt).toFixed(1)+' fps';
   frames=0;t0=performance.now()}
   requestAnimationFrame(loop)};
+ // first frames (JIT still compiling) serve an empty body and fire
+ // onerror, not onload -- retry instead of halting the loop forever
+ img.onerror=()=>setTimeout(loop,500);
  img.src='/frame.jpg?'+Math.random();
 }
 async function panels(){
@@ -111,23 +114,30 @@ async function panels(){
    ab.onclick=()=>sc({op:'add_component',id:s.selected,type:an});
    p.appendChild(ab)}}
  const m=document.createElement('pre');m.id='metrics';p.appendChild(m);
- setInterval(async()=>{m.innerText=JSON.stringify(await (await fetch('/metrics')).json(),null,1)},2000);
+ if(!window._mi){window._mi=setInterval(async()=>{const el=
+  document.getElementById('metrics');if(!el)return;
+  try{el.innerText=JSON.stringify(await (await fetch('/metrics')).json(),null,1)}
+  catch(e){}},2000)}
 }
 panels();loop();
 </script></body></html>"""
 
 
 class ViewerState:
-    def __init__(self, built, render_fn, history, input_state):
+    def __init__(self, built, render_fn, history):
         self.built = built
         self.render_fn = render_fn
         self.history = history
-        self.input = input_state
         self.frame_jpeg = b""
         self.frame_index = 1
         self.metrics = {}
         self.overrides = {}
         self.needs_rebuild = False
+        # live terrain geometry params pending a host-side re-bake
+        # (models/terrain.py: displacement is baked, so terrain_* edits
+        # rebuild the terrain model instead of feeding a shader)
+        self.terrain_params = {}
+        self.terrain_dirty = False
         self.lock = threading.Lock()
 
 
@@ -148,6 +158,16 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
     queue = deque()       # (dispatch_time, outputs) oldest-first
     last_present = time.perf_counter()
     while True:
+        if state.terrain_dirty:
+            with state.lock:
+                params = dict(state.terrain_params)
+                state.terrain_dirty = False
+            try:
+                if _rebake_terrain(state.built, params):
+                    state.needs_rebuild = True
+            except Exception:
+                import traceback
+                traceback.print_exc()
         if state.needs_rebuild:
             with state.lock:
                 old_plan = state.built.plan
@@ -193,6 +213,30 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
                          "frame": state.frame_index}
 
 
+def _rebake_terrain(built, params):
+    """Re-bake every terrain model in the scene with the live params
+    (scale is a vec2; height_scale/midpoint scalars).  Returns True if
+    any entity's model changed (the model-identity change routes
+    BuiltScene.rebuild onto its full re-pack path)."""
+    from .. import scenes
+    from ..scene.components import MeshComponent
+    kw = {}
+    if "height_scale" in params:
+        kw["height_scale"] = float(params["height_scale"])
+    if "midpoint" in params:
+        kw["midpoint"] = float(params["midpoint"])
+    if "scale" in params:
+        v = params["scale"]
+        kw["scale"] = (float(v[0]), float(v[1]))
+    changed = False
+    for e in built.scene.mesh_entities():
+        mc = e.get_component(MeshComponent)
+        if getattr(mc.model, "terrain", False):
+            mc.model = scenes._terrain_model(**kw)
+            changed = True
+    return changed
+
+
 _PARAM_MAP = {
     ("ssao settings", "bias"): "ssao_bias",
     ("ssao settings", "radius"): "ssao_radius",
@@ -214,6 +258,16 @@ _PARAM_MAP = {
     ("terrain settings", "height scale"): "terrain_height_scale",
     ("terrain settings", "midpoint"): "terrain_midpoint",
     ("terrain settings", "scale"): "terrain_scale",
+}
+
+# terrain settings that change baked GEOMETRY (build_terrain_model
+# kwargs); the remaining panel rows (delta/min/max depth) are
+# tessellation-LOD controls that the reference itself never honours
+# (draw_terrain.inl:152-159 sets every level to max_tess_level)
+_TERRAIN_GEOM = {
+    ("terrain settings", "height scale"): "height_scale",
+    ("terrain settings", "midpoint"): "midpoint",
+    ("terrain settings", "scale"): "scale",
 }
 
 _SUN_MAP = {
@@ -301,12 +355,30 @@ def make_handler(state: ViewerState, panel):
                         sprint=body.get("sprint", False),
                         cursor_dx=body.get("dx", 0.0),
                         cursor_dy=body.get("dy", 0.0))
-                    if hasattr(cam, "apply_input"):
-                        cam.apply_input(inp, 1.0 / 60.0)
+                    cam.apply_input(inp, 1.0 / 60.0)
             elif self.path.startswith("/set"):
                 with state.lock:
                     state.overrides[(body["section"], body["name"])] = \
                         body["value"]
+                    if (body["section"], body["name"]) in _TERRAIN_GEOM:
+                        # displacement is baked host-side
+                        # (models/terrain.py): a geometry param edit
+                        # re-bakes the terrain model between frames.
+                        # ("delta"/"min depth"/"max depth" are LOD
+                        # controls that are dead in the reference too —
+                        # draw_terrain.inl:152-159 forces max tess.)
+                        state.terrain_params[
+                            _TERRAIN_GEOM[(body["section"],
+                                           body["name"])]] = body["value"]
+                        state.terrain_dirty = True
+                    elif (body["section"] == "sun settings"
+                            and body["name"] == "position"):
+                        # moving the sun changes projection_view: the
+                        # shadow-elision proof must be re-run against
+                        # the new matrices (rebuild's cheap path), or
+                        # check_sun_proof would reject the frame
+                        state.built.set_sun(position=body["value"])
+                        state.needs_rebuild = True
             elif self.path.startswith("/scene"):
                 # scene hierarchy mutations (scene_hiearchy_panel.cpp
                 # context-menu ops).  EVERY mutation flags a rebuild,
@@ -321,23 +393,32 @@ def make_handler(state: ViewerState, panel):
                 # is memoized on the plan.
                 op = body.get("op")
                 with state.lock:
-                    if op == "select":
-                        panel.select(body.get("id"))
-                    elif op == "create":
-                        panel.create_entity(body.get("name",
-                                                     "empty entity"))
-                        state.needs_rebuild = True
-                    elif op == "destroy":
-                        panel.destroy_entity(body["id"])
-                        state.needs_rebuild = True
-                    elif op == "add_component":
-                        panel.add_component(body["id"], body["type"])
-                        state.needs_rebuild = True
-                    elif op == "set_property":
-                        panel.set_property(body["id"], body["component"],
-                                           body["prop"], body["value"])
-                        state.needs_rebuild = True
+                    try:
+                        self._scene_op(op, body)
+                    except Exception as e:
+                        # a mutation race must answer the request, not
+                        # drop the connection and kill the panel loop
+                        self._send(json.dumps(
+                            {"error": str(e)}).encode())
+                        return
             self._send(b"{}")
+
+        def _scene_op(self, op, body):
+            if op == "select":
+                panel.select(body.get("id"))
+            elif op == "create":
+                panel.create_entity(body.get("name", "empty entity"))
+                state.needs_rebuild = True
+            elif op == "destroy":
+                if panel.destroy_entity(body["id"]):
+                    state.needs_rebuild = True
+            elif op == "add_component":
+                if panel.add_component(body["id"], body["type"]):
+                    state.needs_rebuild = True
+            elif op == "set_property":
+                if panel.set_property(body["id"], body["component"],
+                                      body["prop"], body["value"]):
+                    state.needs_rebuild = True
 
     return Handler
 
@@ -345,7 +426,7 @@ def make_handler(state: ViewerState, panel):
 def serve(built, render_fn, history, port: int = 8000):
     from .scene_panel import SceneHiearchyPanel
     from .. import scenes
-    state = ViewerState(built, render_fn, history, None)
+    state = ViewerState(built, render_fn, history)
     panel = SceneHiearchyPanel(built.scene,
                                model_loader=scenes.default_model)
     t = threading.Thread(target=render_loop, args=(state,), daemon=True)

@@ -62,9 +62,9 @@ def test_taa_fast_camera_takes_reference_offscreen_path():
     vel = jnp.zeros((2, H, W), jnp.float32).at[1].set(-80.0 / H)
     fc = jnp.int32(30)
 
-    out_p = taa_ops.taa(color, depth, vel, prev_c, prev_v, fc, (H, W),
+    out_p = taa_ops.taa(color, depth, vel, prev_c, prev_v, fc,
                         impl="pallas", interpret=True)
-    out_x = taa_ops.taa(color, depth, vel, prev_c, prev_v, fc, (H, W),
+    out_x = taa_ops.taa(color, depth, vel, prev_c, prev_v, fc,
                         impl="xla")
 
     # velocity dilation picks the closest-depth neighbour's velocity;

@@ -131,13 +131,13 @@ def test_taa_static_scene_exact():
     color = jnp.asarray(rng.random((3, 32, 64), dtype=np.float32))
     depth = jnp.full((32, 64), 0.5, jnp.float32)
     vel = jnp.zeros((2, 32, 64), jnp.float32)
-    out = taa.taa(color, depth, vel, color, vel, jnp.int32(10), (32, 64))
+    out = taa.taa(color, depth, vel, color, vel, jnp.int32(10))
     # neighbors[5] quirk: the (x=+1, y=0) tap, not the centre
     center = np.asarray(sampling.shift(color, 1, 0))
     expected = 0.1 * center + 0.9 * np.asarray(color)
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
     # first frame (counter 0): accum = 0 -> pure history
-    out0 = taa.taa(color, depth, vel, color, vel, jnp.int32(0), (32, 64))
+    out0 = taa.taa(color, depth, vel, color, vel, jnp.int32(0))
     np.testing.assert_allclose(np.asarray(out0), np.asarray(color),
                                atol=1e-5)
 
@@ -151,8 +151,7 @@ def test_taa_disocclusion_falls_back_to_blur():
     depth = jnp.full((32, 64), 0.5, jnp.float32)
     vel = jnp.zeros((2, 32, 64), jnp.float32)
     prev_vel = jnp.full((2, 32, 64), 0.2, jnp.float32)
-    out = taa.taa(color, depth, vel, color, prev_vel, jnp.int32(10),
-                  (32, 64))
+    out = taa.taa(color, depth, vel, color, prev_vel, jnp.int32(10))
     blurred = np.zeros_like(np.asarray(color))
     for y in (1, 0, -1):
         for x in (1, 0, -1):

@@ -198,3 +198,60 @@ def test_rebuild_empty_scene_is_noop():
     assert built.mesh_signature() == ()
     built.rebuild()                     # no renderable meshes: keep batch
     assert built.batch is batch0
+
+
+def test_live_sun_edit_reproves_elision():
+    """The viewer's sun-position edit (reference ImGui control): moving
+    the sun rebuilds its matrices AND re-runs the shadow-elision proof,
+    so the frame renders with correct shadows instead of tripping
+    check_sun_proof or silently composing against the stale 1.0 map."""
+    built = _small_caps(scenes.build("helmet", CFG))
+    assert built.plan.shadow_statically_empty
+    frame0 = _render_one(built)
+
+    # sun just above the helmet: geometry enters the +-16 ortho volume,
+    # the proof must FAIL and the raster path must pay
+    built.set_sun(position=(0.0, 8.0, 0.0))
+    built.rebuild()
+    built = _small_caps(built)          # rebuild resets plan overrides
+    assert not built.plan.shadow_statically_empty
+    frame1 = _render_one(built)         # guard passes: proof matches sun
+    assert np.isfinite(frame1).all()
+    assert np.abs(frame1 - frame0).max() > 1e-3  # lighting changed
+
+    # back to the default sun: proof holds again and the guard accepts
+    built.set_sun(position=(-3.2, 40.0, -4.0))
+    built.rebuild()
+    built = _small_caps(built)
+    assert built.plan.shadow_statically_empty
+    frame2 = _render_one(built)
+    np.testing.assert_allclose(frame2, frame0, atol=1e-5)
+
+
+def test_live_terrain_rebake_changes_model():
+    """The viewer's terrain height-scale edit re-bakes the terrain
+    model host-side (models/terrain.py docstring promise): the model
+    identity changes (routing rebuild onto the full re-pack) and the
+    baked displacement actually doubles."""
+    from soc_real_time_renderer_tpu.scene.components import MeshComponent
+    from soc_real_time_renderer_tpu.ui.server import _rebake_terrain
+    cfg = RenderConfig(width=64, height=64, shadow_resolution=64,
+                       enable_clouds=False)
+    built = scenes.build("terrain", cfg)
+    sig0 = built.mesh_signature()
+
+    def y_range(b):
+        for e in b.scene.mesh_entities():
+            m = e.get_component(MeshComponent).model
+            if m.terrain:
+                return float(m.positions[:, 1].max()
+                             - m.positions[:, 1].min())
+        raise AssertionError("no terrain entity")
+
+    y0 = y_range(built)
+    assert _rebake_terrain(built, {"height_scale": 140.0})
+    assert built.mesh_signature() != sig0
+    assert abs(y_range(built) / y0 - 2.0) < 1e-3  # 70 -> 140 doubles y
+    # helmet scenes have no terrain: the re-bake is a no-op
+    helmet = scenes.build("helmet", CFG)
+    assert not _rebake_terrain(helmet, {"height_scale": 140.0})

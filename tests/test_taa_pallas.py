@@ -49,7 +49,7 @@ def test_taa_pallas_path_matches_xla_when_still():
                      ).astype(jnp.bfloat16)
     pv = jnp.zeros((2, H, W), jnp.bfloat16)
     fc = jnp.int32(10)
-    a = taa.taa(color, depth, vel, pc, pv, fc, (H, W), impl="xla")
-    b = taa.taa(color, depth, vel, pc, pv, fc, (H, W), impl="pallas",
+    a = taa.taa(color, depth, vel, pc, pv, fc, impl="xla")
+    b = taa.taa(color, depth, vel, pc, pv, fc, impl="pallas",
                 interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)

@@ -161,7 +161,7 @@ def main():
     timed("luminance histogram+resolve",
           lambda h_: exposure.auto_exposure(h_, jnp.float32(0.0), g), hdr)
     timed("taa", lambda c, d, v, pc, pv: taa.taa(
-        c, d, v, pc, pv, g.frame_counter, (cfg.height, cfg.width)),
+        c, d, v, pc, pv, g.frame_counter),
         hdr, vis.depth, gbuf.velocity, jnp.asarray(hist.previous_color),
         jnp.asarray(hist.previous_velocity))
     timed("tonemap", lambda c: tonemap.tone_map(c, jnp.float32(0.0), g), hdr)

@@ -138,6 +138,7 @@ class ViewerState:
         # rebuild the terrain model instead of feeding a shader)
         self.terrain_params = {}
         self.terrain_dirty = False
+        self.stop = False            # render_loop exit flag (tests)
         self.lock = threading.Lock()
 
 
@@ -157,7 +158,7 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
     dt = 1.0 / 60.0
     queue = deque()       # (dispatch_time, outputs) oldest-first
     last_present = time.perf_counter()
-    while True:
+    while not state.stop:
         if state.terrain_dirty:
             with state.lock:
                 params = dict(state.terrain_params)
@@ -423,7 +424,13 @@ def make_handler(state: ViewerState, panel):
     return Handler
 
 
-def serve(built, render_fn, history, port: int = 8000):
+def start_server(built, render_fn, history, port: int = 0,
+                 host: str = "0.0.0.0"):
+    """Spin up the render thread + HTTP server (not yet serving).
+    Returns (server, state, panel); callers drive
+    ``server.serve_forever()`` themselves.  ``port=0`` binds an
+    ephemeral port (``server.server_address[1]``) — the HTTP
+    integration tests use this."""
     from .scene_panel import SceneHiearchyPanel
     from .. import scenes
     state = ViewerState(built, render_fn, history)
@@ -431,7 +438,11 @@ def serve(built, render_fn, history, port: int = 8000):
                                model_loader=scenes.default_model)
     t = threading.Thread(target=render_loop, args=(state,), daemon=True)
     t.start()
-    server = ThreadingHTTPServer(("0.0.0.0", port),
-                                 make_handler(state, panel))
-    print(f"viewer on http://localhost:{port}")
+    server = ThreadingHTTPServer((host, port), make_handler(state, panel))
+    return server, state, panel
+
+
+def serve(built, render_fn, history, port: int = 8000):
+    server, _, _ = start_server(built, render_fn, history, port)
+    print(f"viewer on http://localhost:{server.server_address[1]}")
     server.serve_forever()

@@ -25,7 +25,35 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 TARGET_MS = 16.0
 
 
+def _wait_for_tunnel():
+    """The axon TPU tunnel drops for stretches (PERF.md); a bench
+    launched into a down-window would fail instantly.  Probe it in a
+    SUBPROCESS (in-process backend-init failure is cached by jax) and
+    wait out short outages, bounded by BENCH_TUNNEL_WAIT_S.  No-op for
+    cpu runs and once the first probe succeeds (~2 s when up)."""
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    deadline = time.time() + float(
+        os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
+             "assert float((jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0, 0])"
+             " == 8.0")
+    while True:
+        try:
+            if subprocess.run([sys.executable, "-c", probe], timeout=150,
+                              capture_output=True).returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return              # let the real run surface the failure
+        print("bench: TPU tunnel down, retrying...", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_tunnel()
     import jax
     import numpy as np
 

@@ -149,6 +149,39 @@ class BuiltScene:
                             for f in self._PLAN_OVERRIDES})
         self._models = list(models)
 
+    def resize(self, width: int, height: int) -> None:
+        """The reference's resize path (SURVEY §3.5): swapchain resize +
+        recreate_framebuffer (renderer.cpp:815-881) + camera.resize
+        (application.cpp:96-100).  Recreates the resolution-dependent
+        state in place — config, main bin grid (re-capped for the live
+        scene), camera aspect/projection — and restarts the prev-camera
+        roll (the first post-resize frame has no same-shape history to
+        reproject, matching the recreated targets).  The scene batch,
+        atlas, shadow grid/proof and plan overrides are untouched: like
+        the reference, the task graph itself is NOT rebuilt — half-res
+        targets are derived from config inside render_frame (the
+        persistent-TaskImage set_images analog).
+
+        The caller re-jits with make_render_fn(self.plan) and recreates
+        RenderHistory (the destroy+recreate of all render targets)."""
+        import dataclasses as _dc
+        from .ops import raster2
+        width, height = int(width), int(height)
+        if width % 32 or height % 32 or width < 64 or height < 64:
+            # Pallas tile alignment: SSAO/TAA/texsample windows assume
+            # even half-res dims and 16px tiles; shipped configs are
+            # all multiples of 32 (640x384 .. 1920x1088)
+            raise ValueError(
+                f"resize: width/height must be multiples of 32 and "
+                f">= 64, got {width}x{height}")
+        cfg2 = self.plan.config.replace(width=width, height=height)
+        main = _cap_grid(raster2.default_grid(width, height),
+                         int(self.batch.num_triangles))
+        self.plan = _dc.replace(self.plan, config=cfg2, main_grid=main)
+        self.camera.resize(width, height)
+        if hasattr(self, "_prev_cam"):
+            del self._prev_cam
+
     def frame_globals(self, frame_index: int, dt: float = 1.0 / 60.0,
                       peek: bool = False):
         """Per-frame host update: camera/jitter/lights/transforms —
@@ -267,6 +300,19 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
     return bool(np.all(excluded))
 
 
+def _cap_grid(grid, T: int):
+    """Scene-sized pair caps for a bin grid: the sorted pair stream
+    truncates (bottom-of-screen bins drop) if the cap is exceeded.
+    With 64px bins + exact near-clip bboxes the medium path (bbox > 4
+    bins ~ >128px) is rare (tens of triangles at Sponza scale); pairs
+    average well under 2 bins/triangle."""
+    import dataclasses as _dc
+    med_cap = max(4096, min(T // 16, 8192))
+    want = min(4 * T + med_cap * grid.med_slots, max(2 * T, 262144))
+    want = -(-want // grid.chunk) * grid.chunk
+    return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
+
+
 def _finish(scene, models, config, camera_pos, camera_target, animate=False,
             atlas_size=1024, build_page=None, sun=None):
     # bound the composition light scans by the actual scene lights
@@ -287,23 +333,10 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
         batch = _dc0.replace(
             batch, cloud_noise=(img[..., 0].astype(np.float32) / 255.0))
     plan = frame_mod.FramePlan.create(config, atlas)
-    # size pair caps to the scene: the sorted pair stream truncates
-    # (bottom-of-screen bins drop) if the cap is exceeded
     import dataclasses as _dc
     T = batch.num_triangles
-
-    def _cap(grid):
-        # with 64px bins + exact near-clip bboxes the medium path
-        # (bbox > 4 bins ~ >128px) is rare (tens of triangles at Sponza
-        # scale); pairs average well under 2 bins/triangle
-        med_cap = max(4096, min(T // 16, 8192))
-        want = min(4 * T + med_cap * grid.med_slots,
-                   max(2 * T, 262144))
-        want = -(-want // grid.chunk) * grid.chunk
-        return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
-
-    plan = _dc.replace(plan, main_grid=_cap(plan.main_grid),
-                       shadow_grid=_cap(plan.shadow_grid))
+    plan = _dc.replace(plan, main_grid=_cap_grid(plan.main_grid, T),
+                       shadow_grid=_cap_grid(plan.shadow_grid, T))
     # Statically-empty shadow proof (FramePlan.shadow_statically_empty
     # docstring has the full reference-bug chain): if EVERY world-space
     # vertex lands strictly outside the sun clip volume on the SAME

@@ -13,6 +13,8 @@ have no display, so the interactive loop is a tiny stdlib HTTP server:
 * ``POST /scene``    — scene hierarchy mutations (select/create/destroy
   entity, add component, set component property); mesh-set changes
   trigger a live batch rebuild between frames;
+* ``POST /resize``   — window resize (SURVEY §3.5: swapchain resize +
+  framebuffer recreation + camera.resize), applied between frames;
 * ``GET /metrics``   — per-pass timing JSON (the GPUMetric HUD).
 
 Run: ``python tools/viewer.py --scene helmet --port 8000``.
@@ -74,6 +76,14 @@ async function panels(){
     row.appendChild(inp)});
    p.appendChild(row);
   }}
+ const rh=document.createElement('h4');rh.innerText='window';p.appendChild(rh);
+ const rr=document.createElement('div');rr.className='row';
+ const wi=document.createElement('input');wi.value=c.width||1280;
+ const hi=document.createElement('input');hi.value=c.height||736;
+ const rb=document.createElement('button');rb.innerText='resize';
+ rb.onclick=()=>fetch('/resize',{method:'POST',body:JSON.stringify(
+  {width:parseInt(wi.value),height:parseInt(hi.value)})});
+ rr.appendChild(wi);rr.appendChild(hi);rr.appendChild(rb);p.appendChild(rr);
  const h=document.createElement('h4');h.innerText='scene';p.appendChild(h);
  const sc=async(b)=>{await fetch('/scene',{method:'POST',body:JSON.stringify(b)});panels()};
  const addNode=(id,depth)=>{const n=s.scene.nodes[id];
@@ -138,6 +148,7 @@ class ViewerState:
         # rebuild the terrain model instead of feeding a shader)
         self.terrain_params = {}
         self.terrain_dirty = False
+        self.pending_resize = None   # (w, h) requested via POST /resize
         self.stop = False            # render_loop exit flag (tests)
         self.lock = threading.Lock()
 
@@ -169,6 +180,23 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
             except Exception:
                 import traceback
                 traceback.print_exc()
+        if state.pending_resize:
+            with state.lock:
+                w, h = state.pending_resize
+                state.pending_resize = None
+                cfg = state.built.plan.config
+                if (w, h) != (cfg.width, cfg.height):
+                    # §3.5: swapchain.resize + recreate_framebuffer +
+                    # camera.resize.  In-flight frames have the old
+                    # shape — drop them; history targets are recreated
+                    # at the new resolution (re-jit is memoized +
+                    # persistent-compile-cached on the new plan).
+                    queue.clear()
+                    state.built.resize(w, h)
+                    state.render_fn = frame_mod.make_render_fn(
+                        state.built.plan)
+                    state.history = frame_mod.RenderHistory.create(
+                        state.built.plan.config)
         if state.needs_rebuild:
             with state.lock:
                 old_plan = state.built.plan
@@ -380,6 +408,22 @@ def make_handler(state: ViewerState, panel):
                         # check_sun_proof would reject the frame
                         state.built.set_sun(position=body["value"])
                         state.needs_rebuild = True
+            elif self.path.startswith("/resize"):
+                # the reference's window-resize path (SURVEY §3.5,
+                # window.cpp:29-32 -> renderer.window_resized +
+                # camera.resize): validated here, applied by the render
+                # loop between frames (swapchain + framebuffer
+                # recreation analog)
+                try:
+                    w, h = int(body["width"]), int(body["height"])
+                    if w % 32 or h % 32 or w < 64 or h < 64:
+                        raise ValueError(
+                            "width/height must be multiples of 32, >= 64")
+                except (KeyError, TypeError, ValueError) as e:
+                    self._send(json.dumps({"error": str(e)}).encode())
+                    return
+                with state.lock:
+                    state.pending_resize = (w, h)
             elif self.path.startswith("/scene"):
                 # scene hierarchy mutations (scene_hiearchy_panel.cpp
                 # context-menu ops).  EVERY mutation flags a rebuild,

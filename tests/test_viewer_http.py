@@ -131,3 +131,45 @@ def test_viewer_http_roundtrip(viewer):
     assert jpg.startswith(b"\xff\xd8")         # JPEG magic
     metrics = json.loads(_get(base, "/metrics"))
     assert metrics["frame"] > 1 and metrics["fps"] > 0
+
+
+def test_viewer_resize(viewer, monkeypatch):
+    """POST /resize drives the §3.5 resize path: the render loop swaps
+    in a new render fn + history and frames start arriving at the new
+    resolution.  make_render_fn is stubbed (per-plan shape-correct
+    stub) so the test pins the viewer plumbing, not the jit."""
+    import io
+
+    from PIL import Image
+
+    from soc_real_time_renderer_tpu.graph import frame as frame_mod
+
+    base, state, panel = viewer
+
+    def _stub_make_render_fn(plan):
+        h, w = plan.config.height, plan.config.width
+
+        def fn(batch, g, history, mm, nm):
+            time.sleep(0.002)
+            return (types.SimpleNamespace(
+                color=np.full((3, h, w), 0.5, np.float32)), history)
+        return fn
+
+    monkeypatch.setattr(frame_mod, "make_render_fn", _stub_make_render_fn)
+
+    # invalid sizes answer an error without touching the loop
+    assert b"error" in _post(base, "/resize", {"width": 100, "height": 64})
+    assert b"error" in _post(base, "/resize", {"width": 64})
+    assert state.pending_resize is None
+
+    _post(base, "/resize", {"width": 64, "height": 96})
+    deadline = time.time() + 15.0
+    size = None
+    while time.time() < deadline and size != (64, 96):
+        jpg = _get(base, "/frame.jpg")
+        if jpg.startswith(b"\xff\xd8"):
+            size = Image.open(io.BytesIO(jpg)).size      # (w, h)
+        time.sleep(0.05)
+    assert size == (64, 96)
+    assert state.built.plan.config.width == 64
+    assert abs(state.built.camera.aspect - 64.0 / 96.0) < 1e-6

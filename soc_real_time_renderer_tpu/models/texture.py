@@ -211,11 +211,12 @@ def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
     function of its (level, y, x), so the expansion is exact and done
     once at pack time.
     """
+    import sys
     size, n_levels = atlas.size, atlas.n_levels
     stride, M = atlas.layer_stride, atlas.num_materials
-    mx = np.empty(stride, np.int64)
-    my = np.empty(stride, np.int64)
-    mxy = np.empty(stride, np.int64)
+    mx = np.empty(stride, np.int32)
+    my = np.empty(stride, np.int32)
+    mxy = np.empty(stride, np.int32)
     off = 0
     for level in range(n_levels):
         s = size >> level
@@ -227,14 +228,31 @@ def expand_atlas_bilinear(atlas: PackedMaterialAtlas) -> np.ndarray:
         my[sl] = off + (y1 * s + x).ravel()
         mxy[sl] = off + (y1 * s + x1).ravel()
         off += s * s
+    p = atlas.packed[list(SAMPLED_ROWS)]            # (11, N) u8
+    N = M * stride
+    out = np.zeros((N, 12), np.int32)
+    if sys.byteorder == "little":
+        # The u32 corner word is just 4 little-endian BYTES
+        # [c00, c10, c01, c11]: write them through a u8 view instead of
+        # materializing four (11, N) u32 temporaries (~2 GB of
+        # allocation churn at Sponza scale; 14 s -> ~1.5 s build time).
+        # The wrap indices repeat per material, so each corner gathers
+        # through the (M, stride)-reshaped row with the stride-length
+        # index — no N-length index array is ever built.
+        ob = out.view(np.uint8).reshape(N, 48)
+        for r in range(N_SAMPLED):
+            q = p[r].reshape(M, stride)
+            ob[:, 4 * r + 0] = p[r]
+            ob[:, 4 * r + 1] = q[:, mx].ravel()
+            ob[:, 4 * r + 2] = q[:, my].ravel()
+            ob[:, 4 * r + 3] = q[:, mxy].ravel()
+        return out
     base = np.arange(M, dtype=np.int64)[:, None] * stride
-    p = atlas.packed[list(SAMPLED_ROWS)]
     c00 = p.astype(np.uint32)
-    c10 = p[:, (base + mx[None, :]).ravel()].astype(np.uint32)
-    c01 = p[:, (base + my[None, :]).ravel()].astype(np.uint32)
-    c11 = p[:, (base + mxy[None, :]).ravel()].astype(np.uint32)
+    c10 = p[:, (base + mx[None, :].astype(np.int64)).ravel()].astype(np.uint32)
+    c01 = p[:, (base + my[None, :].astype(np.int64)).ravel()].astype(np.uint32)
+    c11 = p[:, (base + mxy[None, :].astype(np.int64)).ravel()].astype(np.uint32)
     packed = (c00 | (c10 << 8) | (c01 << 16) | (c11 << 24))  # (11, N)
-    out = np.zeros((packed.shape[1], 12), np.int32)
     out[:, :11] = packed.astype(np.int32).T
     return out
 

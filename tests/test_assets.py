@@ -118,3 +118,40 @@ def test_atrium_scale():
     m = proc.build_atrium(texture_dir=None)
     assert len(m.triangles) > 20_000
     assert len(m.materials) == 5
+
+
+def test_expand_atlas_bilinear_paths_agree():
+    """The little-endian byte-view fast path of expand_atlas_bilinear
+    must be bit-identical to the generic u32-shift path (the fast path
+    writes the 4 bilinear corners as raw little-endian bytes)."""
+    import sys
+    import unittest.mock as mock
+
+    from soc_real_time_renderer_tpu.models import texture as tx
+
+    rng = np.random.default_rng(3)
+    size = 16
+    n_levels = int(np.log2(size)) + 1
+    stride = sum((size >> k) ** 2 for k in range(n_levels))
+    M = 3
+    at = tx.PackedMaterialAtlas(
+        packed=rng.integers(0, 256, (16, M * stride), dtype=np.uint8),
+        size=size, num_materials=M, layer_stride=stride,
+        n_levels=n_levels)
+    fast = tx.expand_atlas_bilinear(at)
+    with mock.patch.object(sys, "byteorder", "big"):
+        generic = tx.expand_atlas_bilinear(at)
+    np.testing.assert_array_equal(fast, generic)
+
+
+def test_subdivide_quad_grid():
+    """subdivide_quad covers the quad exactly in j-major cell order
+    with shared grid corners (the vectorized rewrite keeps the old
+    per-cell loop's ordering)."""
+    q = proc.subdivide_quad([0, 0, 0], [2, 0, 0], [2, 3, 0], [0, 3, 0],
+                            4, 3)
+    assert q.shape == (12, 4, 3)
+    # cell (i=1, j=2) -> index j*nx+i = 9; corners at u=[.25,.5], v=[2/3,1]
+    np.testing.assert_allclose(
+        q[9], [[0.5, 2.0, 0.0], [1.0, 2.0, 0.0],
+               [1.0, 3.0, 0.0], [0.5, 3.0, 0.0]], atol=1e-6)

@@ -87,12 +87,9 @@ def main():
     def run(batch, gb, hist, mm, nm):
         def step(h, g):
             out, h2 = frame_mod.render_frame(plan, batch, g, h, mm, nm)
-            probe = out.color[:, ::64, ::64].sum()  # tiny per-frame probe
-            # consume the HiZ pyramid tops so the T2/T3 parity passes
-            # aren't dead-code-eliminated out of the measured frame
-            if out.hiz_min is not None:
-                probe = probe + out.hiz_min[-1].sum() + out.hiz_max[-1].sum()
-            return h2, probe
+            # probe-liveness rules live in frame.bench_probe — every
+            # computed-but-not-composited pass must stay live
+            return h2, frame_mod.bench_probe(out)
         h2, probes = jax.lax.scan(step, hist, gb)
         return h2, probes
 

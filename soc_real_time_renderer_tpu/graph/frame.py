@@ -119,6 +119,17 @@ class FramePlan:
     # proved matrices, and silently substituting the 1.0 map under a
     # different sun would render wrong shadows with no error.
     proved_sun_pv: tuple | None = None
+    # Attribution stubs (tools/bench_toggle.py; VERDICT r3 item 1) —
+    # NOT rendering modes.  "": off.  "resolve": fabricate the main
+    # visibility buffer after binning (delta = main resolve kernel).
+    # "shadow_resolve": same for the shadow view.  "records": skip the
+    # G-buffer record gather (delta = fat gather + interpolation).
+    # "unlit": composition = albedo passthrough (delta = lighting).
+    stub: str = ""
+    # Diagnostic: materialize vis.depth/tri_id behind an
+    # optimization_barrier before the shade stage (the -hiz anomaly
+    # probe, VERDICT r3 item 4).
+    vis_barrier: bool = False
 
     @staticmethod
     def create(config: RenderConfig, atlas: PackedMaterialAtlas,
@@ -158,6 +169,10 @@ class FrameOutputs:
     #                                 means a static binning cap dropped
     #                                 fragments this frame; see
     #                                 raster2.build_pairs.
+    tex_dirty: jax.Array           # () int32 — tile-sampler dirty-tile
+    #                                 count this frame (-1 on the XLA
+    #                                 texture path); sizes tex_dirty_cap
+    #                                 from data (VERDICT r3 item 6).
 
 
 def transform_triangles(batch: SceneBatch, model_mats, normal_mats):
@@ -219,7 +234,8 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     world, wnrm = transform_triangles(batch, model_mats, normal_mats)
     clip = _clip_of(world, g.camera.projection_view)
     vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
-                                   interpret=plan.interpret, shard=shard)
+                                   interpret=plan.interpret, shard=shard,
+                                   stub=(plan.stub == "resolve"))
 
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
@@ -227,7 +243,8 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     if cfg.enable_shadows and not plan.shadow_statically_empty:
         sclip = _clip_of(world, g.sun.projection_view)
         svis, _ = raster2.rasterize(sclip, plan.shadow_grid, cull="back",
-                                    interpret=plan.interpret, shard=shard)
+                                    interpret=plan.interpret, shard=shard,
+                                    stub=(plan.stub == "shadow_resolve"))
         shadow_map = svis.depth
         overflow = overflow | svis.overflow
 
@@ -269,6 +286,10 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     execution with no interpreter in the compiled step)."""
     cfg = plan.config
     rows = _row_pin(plan)
+    if plan.vis_barrier:
+        vis = dataclasses.replace(
+            vis, depth=jax.lax.optimization_barrier(vis.depth),
+            tri_id=jax.lax.optimization_barrier(vis.tri_id))
     vis = dataclasses.replace(vis, depth=rows(vis.depth),
                               tri_id=rows(vis.tri_id))
     shadow_map = rows(shadow_map) if shadow_map is not None else None
@@ -314,14 +335,14 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
             "the scene with build_page=True (scenes.build(..., "
             "build_page=True)) or leave texture_impl='auto'.")
     use_page = impl == "pallas" and batch.atlas_page is not None
-    gbuf, tex_overflow = gbuf_ops.resolve_gbuffer(
+    gbuf, tex_overflow, tex_dirty = gbuf_ops.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
         n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter,
         atlas_page=batch.atlas_page if use_page else None,
         num_materials=plan.atlas_num_materials,
         tex_dirty_cap=plan.tex_dirty_cap, interpret=interp,
-        shard=shard)
+        shard=shard, stub_records=(plan.stub == "records"))
     overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole
@@ -449,15 +470,26 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                                                  cfg.width)
 
     # ---- composition (T13)
-    hdr = comp_ops.compose(
-        g, vis.depth, gbuf.albedo, emissive, gbuf.normal, ssao_full,
-        shadow_map, clouds_full,
-        enable_volumetric=cfg.enable_volumetric_light,
-        enable_shadow=cfg.enable_shadows,
-        max_point_lights=cfg.max_point_lights,
-        max_spot_lights=cfg.max_spot_lights,
-        empty_shadow_map=(cfg.enable_shadows
-                          and plan.shadow_statically_empty))
+    if plan.stub == "unlit":
+        # attribution stub: albedo passthrough instead of lighting;
+        # composition-only inputs stay live via a non-foldable epsilon
+        # so their producing passes aren't dead-code-eliminated
+        eps = ssao_full.sum() * 1e-30
+        if clouds_full is not None:
+            eps = eps + clouds_full.sum() * 1e-30
+        if shadow_map is not None:
+            eps = eps + shadow_map.sum() * 1e-30
+        hdr = gbuf.albedo + eps
+    else:
+        hdr = comp_ops.compose(
+            g, vis.depth, gbuf.albedo, emissive, gbuf.normal, ssao_full,
+            shadow_map, clouds_full,
+            enable_volumetric=cfg.enable_volumetric_light,
+            enable_shadow=cfg.enable_shadows,
+            max_point_lights=cfg.max_point_lights,
+            max_spot_lights=cfg.max_spot_lights,
+            empty_shadow_map=(cfg.enable_shadows
+                              and plan.shadow_statically_empty))
     # render-target barrier: TAA shifts hdr 9 ways and the histogram
     # reduces it — fused recompute of composition per consumer is the
     # dominant glue cost at 1080p (PERF.md round-2 item 6)
@@ -512,7 +544,7 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                            shadow_map=shadow_map, ssao=ssao,
                            clouds=clouds_half, bloom=bloom, ssr=ssr_img,
                            hiz_min=hiz_min, hiz_max=hiz_max,
-                           overflow=overflow)
+                           overflow=overflow, tex_dirty=tex_dirty)
     return outputs, new_history
 
 
@@ -552,6 +584,33 @@ def check_sun_proof(plan: FramePlan, g: ShaderGlobals):
             "sun projection_view than this frame's g.sun. Rebuild the "
             "scene plan for the new sun (scenes._finish re-runs the "
             "proof) or set shadow_statically_empty=False.")
+
+
+def bench_probe(out: FrameOutputs) -> jax.Array:
+    """Reduced per-frame probe for the benchmark harnesses (bench.py,
+    tools/bench_baselines.py, tools/bench_toggle.py).
+
+    Probe-liveness rule (VERDICT r3 item 2): XLA dead-code-eliminates
+    backwards from the scan output, so a bench that reads only
+    ``color`` silently measures a frame WITHOUT any pass that does not
+    feed color.  Every FrameOutputs field that can be computed without
+    being composited must therefore contribute to the probe:
+
+    * the HiZ pyramids — the reference builds them every frame and
+      nothing reads them (SSR declares-but-ignores, T2/T3);
+    * SSR when ``composite_ssr`` is off — the reference runs the
+      50-iteration march and comments out the mix
+      (``composition.inl:213-216``), so the march's cost is real and
+      must stay live in the measured frame.
+
+    Any future computed-but-not-composited pass must be added here.
+    """
+    probe = out.color[:, ::64, ::64].sum()
+    if out.hiz_min is not None:
+        probe = probe + out.hiz_min[-1].sum() + out.hiz_max[-1].sum()
+    if out.ssr is not None:
+        probe = probe + out.ssr[:, ::64, ::64].astype(jnp.float32).sum()
+    return probe
 
 
 @functools.lru_cache(maxsize=8)

@@ -162,15 +162,17 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     atlas_page=None, num_materials: int = 0,
                     tex_dirty_cap: int = 768,
                     interpret: bool = False,
-                    shard=None) -> tuple[GBuffer, jax.Array]:
+                    shard=None, stub_records: bool = False
+                    ) -> tuple[GBuffer, jax.Array, jax.Array]:
     """Shade the visibility buffer into the 5-target G-buffer.
 
     atlas_page: ops/texsample.AtlasPageDevice — when given (and H, W
     are multiples of 16), material textures are sampled by the
     tile-resident Pallas kernel with the XLA gather as dirty-tile
     fallback; otherwise the exact XLA gather path runs.  Returns
-    (gbuffer, tex_overflow) — tex_overflow is OVERFLOW_TEX_DIRTY when
-    dirty tiles exceeded tex_dirty_cap.
+    (gbuffer, tex_overflow, tex_dirty) — tex_overflow is
+    OVERFLOW_TEX_DIRTY when dirty tiles exceeded tex_dirty_cap;
+    tex_dirty is the dirty-tile count (-1 on the XLA path).
     """
     H, W = vis.depth.shape
     T = shading_records.shape[1] - 1
@@ -179,63 +181,91 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     miss = tri < 0
     t = jax.lax.optimization_barrier(jnp.where(miss, T, tri))
 
-    rhl = shading_records[:, t]                       # (80, P) bf16 hi/lo
-    rec = rhl[:40].astype(jnp.float32) + rhl[40:].astype(jnp.float32)
-
     px = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :]
     py = (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None]
     px = jnp.broadcast_to(px, (H, W)).reshape(-1)
     py = jnp.broadcast_to(py, (H, W)).reshape(-1)
 
-    # edge values + derivatives (de/dx = adj col 0, de/dy = col 1)
-    e = jnp.stack([rec[0] * px + rec[1] * py + rec[2],
-                   rec[3] * px + rec[4] * py + rec[5],
-                   rec[6] * px + rec[7] * py + rec[8]])   # (3, P)
-    ex = jnp.stack([rec[0], rec[3], rec[6]])
-    ey = jnp.stack([rec[1], rec[4], rec[7]])
-    D = e[0] + e[1] + e[2]
-    Dx = ex[0] + ex[1] + ex[2]
-    Dy = ey[0] + ey[1] + ey[2]
-    invD = 1.0 / jnp.where(D != 0, D, 1.0)
+    if stub_records:
+        # --- attribution stub (tools/bench_toggle.py stub_records):
+        # skip the (80, P) fat record gather and the interpolation math
+        # derived from it; synthesize spatially-plausible attributes
+        # instead — mid constant over 128-px blocks so the tile
+        # planner sees realistic per-tile combo counts, uv/lod varying
+        # smoothly so the texture taps keep realistic index diversity
+        # (all-identical indices are pathological, PERF.md).  Delta vs
+        # baseline ≈ record gather + interpolation (VPU-cheap) +
+        # build_shading_records (~0.2 ms of HBM writes).  NOT a
+        # rendering mode.
+        pxn = px / W
+        pyn = py / H
+        zero = jnp.zeros_like(px)
+        one = jnp.ones_like(px)
+        pos = jnp.stack([pxn * 20.0 - 10.0, pyn * 20.0 - 10.0, zero])
+        pos_dx = jnp.stack([jnp.full_like(px, 0.01), zero, zero])
+        pos_dy = jnp.stack([zero, jnp.full_like(px, 0.01), zero])
+        nrm = jnp.stack([zero, zero, one])
+        uv = jnp.stack([pxn * 7.3, pyn * 7.3])
+        dv_dx = zero
+        dv_dy = jnp.full_like(px, 7.3 / H)
+        mid = ((px.astype(jnp.int32) // 128 + py.astype(jnp.int32) // 128)
+               % max(num_materials, 1))
+        has_n, has_mr, has_e, is_ter = one, one, zero, zero
+        lod = pxn * 3.0
+    else:
+        rhl = shading_records[:, t]                   # (80, P) bf16 hi/lo
+        rec = rhl[:40].astype(jnp.float32) + rhl[40:].astype(jnp.float32)
 
-    def interp(r0, r1, r2):
-        """Perspective-correct value + d/dx + d/dy for a per-vertex
-        attribute given its three rows (P,)."""
-        N = e[0] * r0 + e[1] * r1 + e[2] * r2
-        Nx = ex[0] * r0 + ex[1] * r1 + ex[2] * r2
-        Ny = ey[0] * r0 + ey[1] * r1 + ey[2] * r2
-        val = N * invD
-        return val, (Nx - val * Dx) * invD, (Ny - val * Dy) * invD
+        # edge values + derivatives (de/dx = adj col 0, de/dy = col 1)
+        e = jnp.stack([rec[0] * px + rec[1] * py + rec[2],
+                       rec[3] * px + rec[4] * py + rec[5],
+                       rec[6] * px + rec[7] * py + rec[8]])   # (3, P)
+        ex = jnp.stack([rec[0], rec[3], rec[6]])
+        ey = jnp.stack([rec[1], rec[4], rec[7]])
+        D = e[0] + e[1] + e[2]
+        Dx = ex[0] + ex[1] + ex[2]
+        Dy = ey[0] + ey[1] + ey[2]
+        invD = 1.0 / jnp.where(D != 0, D, 1.0)
 
-    def interp3(base):
-        """rows base+{0..8} hold vertex-major (v, c) attrs: row = base +
-        v*3 + c.  Returns ((3, P) value, (3, P) ddx, (3, P) ddy)."""
-        vals, dxs, dys = [], [], []
-        for c in range(3):
-            v, dx, dy = interp(rec[base + c], rec[base + 3 + c],
-                               rec[base + 6 + c])
-            vals.append(v)
-            dxs.append(dx)
-            dys.append(dy)
-        return jnp.stack(vals), jnp.stack(dxs), jnp.stack(dys)
+        def interp(r0, r1, r2):
+            """Perspective-correct value + d/dx + d/dy for a per-vertex
+            attribute given its three rows (P,)."""
+            N = e[0] * r0 + e[1] * r1 + e[2] * r2
+            Nx = ex[0] * r0 + ex[1] * r1 + ex[2] * r2
+            Ny = ey[0] * r0 + ey[1] * r1 + ey[2] * r2
+            val = N * invD
+            return val, (Nx - val * Dx) * invD, (Ny - val * Dy) * invD
 
-    pos, pos_dx, pos_dy = interp3(9)
-    nrm, _, _ = interp3(18)
-    uv_u, du_dx, du_dy = interp(rec[27], rec[29], rec[31])
-    uv_v, dv_dx, dv_dy = interp(rec[28], rec[30], rec[32])
-    uv = jnp.stack([uv_u, uv_v])                     # (2, P)
+        def interp3(base):
+            """rows base+{0..8} hold vertex-major (v, c) attrs: row =
+            base + v*3 + c.  Returns ((3, P) value, ddx, ddy)."""
+            vals, dxs, dys = [], [], []
+            for c in range(3):
+                v, dx, dy = interp(rec[base + c], rec[base + 3 + c],
+                                   rec[base + 6 + c])
+                vals.append(v)
+                dxs.append(dx)
+                dys.append(dy)
+            return jnp.stack(vals), jnp.stack(dxs), jnp.stack(dys)
 
-    mid = jnp.round(rec[33]).astype(jnp.int32)
-    has_n = rec[34]
-    has_mr = rec[35]
-    has_e = rec[36]
-    is_ter = rec[37]
+        pos, pos_dx, pos_dy = interp3(9)
+        nrm, _, _ = interp3(18)
+        uv_u, du_dx, du_dy = interp(rec[27], rec[29], rec[31])
+        uv_v, dv_dx, dv_dy = interp(rec[28], rec[30], rec[32])
+        uv = jnp.stack([uv_u, uv_v])                 # (2, P)
 
-    lod_sq = jnp.maximum(du_dx ** 2 + dv_dx ** 2,
-                         du_dy ** 2 + dv_dy ** 2) * (atlas_size ** 2)
-    lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
+        mid = jnp.round(rec[33]).astype(jnp.int32)
+        has_n = rec[34]
+        has_mr = rec[35]
+        has_e = rec[36]
+        is_ter = rec[37]
+
+        lod_sq = jnp.maximum(du_dx ** 2 + dv_dx ** 2,
+                             du_dy ** 2 + dv_dy ** 2) * (atlas_size ** 2)
+        lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
 
     tex_overflow = jnp.int32(0)
+    tex_dirty = jnp.int32(-1)        # -1 = XLA path (no tile planner)
     sharded = shard is not None and shard[0] is not None
     if sharded and H % shard[0].shape[shard[1]] != 0:
         atlas_page = None  # undividable rows: exact XLA gather shards natively
@@ -262,7 +292,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     return jnp.pad(
                         a, [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)])
 
-                t, ov = texsample.sample_atlas_tiled(
+                t, ov, nd = texsample.sample_atlas_tiled(
                     page_r, padrows(mid_b).reshape(-1),
                     padrows(uv_b).reshape(2, -1),
                     padrows(lod_b).reshape(-1),
@@ -274,20 +304,21 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     H=Hp, W=W)
                 t = t.reshape(11, Hp, W)[:, :Hb]
                 ov = jax.lax.pmax(ov, axis)
-                return t, ov
+                nd = jax.lax.psum(nd, axis)
+                return t, ov, nd
 
             rows2 = P(axis, None)
             rows3 = P(None, axis, None)
-            tex, tex_overflow = shard_map(
+            tex, tex_overflow, tex_dirty = shard_map(
                 _band, mesh=mesh,
                 in_specs=(rows2, rows3, rows2, rows2, P(), P()),
-                out_specs=(rows3, P()), check_vma=False)(
+                out_specs=(rows3, P(), P()), check_vma=False)(
                 mid.reshape(H, W), uv.reshape(2, H, W),
                 lod.reshape(H, W), (~miss).reshape(H, W),
                 atlas, atlas_page)
             tex = tex.reshape(11, H * W)
         else:
-            tex, tex_overflow = texsample.sample_atlas_tiled(
+            tex, tex_overflow, tex_dirty = texsample.sample_atlas_tiled(
                 atlas_page, mid, uv, lod, ~miss, atlas, size=atlas_size,
                 n_levels=n_levels, num_materials=num_materials,
                 layer_stride=layer_stride, filter_mode=filter_mode,
@@ -342,6 +373,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     def plane(x):
         return x.reshape(x.shape[0], H, W)
 
-    return GBuffer(albedo=plane(albedo), emissive=plane(emissive),
-                   normal=plane(normal), metallic_roughness=plane(mr),
-                   velocity=plane(velocity), depth=vis.depth), tex_overflow
+    return (GBuffer(albedo=plane(albedo), emissive=plane(emissive),
+                    normal=plane(normal), metallic_roughness=plane(mr),
+                    velocity=plane(velocity), depth=vis.depth),
+            tex_overflow, tex_dirty)

@@ -512,13 +512,21 @@ def resolve_row_sharded(starts, recs, grid: BinGrid, mesh, axis: str,
 
 
 def rasterize(clip, grid: BinGrid, cull: str = "front",
-              interpret: bool | None = None, shard=None
+              interpret: bool | None = None, shard=None,
+              stub: bool = False
               ) -> tuple[VisibilityBuffer, PlanarSetup]:
     """Full raster: clip (3 verts, 4 comps, T) planar clip positions
     (models/scene_batch.py layout) -> visibility buffer.
 
     shard: optional (mesh, axis_name) — resolve bin rows split over the
     mesh axis (resolve_row_sharded); setup/binning stay replicated.
+
+    stub: attribution probe (tools/bench_toggle.py stub_resolve) — skip
+    ONLY the Pallas resolve kernel; setup/binning/record-gather stay
+    live (consumed through an epsilon term that cannot be folded).
+    Outputs mimic the real distribution coarsely: 4x4-pixel blocks of
+    one tri_id (gather coherence downstream) and a smooth in-range
+    depth with no misses.  NOT a rendering mode.
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -545,6 +553,15 @@ def rasterize(clip, grid: BinGrid, cull: str = "front",
     if recs.shape[1] < cap:
         recs = jnp.pad(recs, ((0, 0), (0, cap - recs.shape[1])))
     rgrid = dataclasses.replace(grid, pair_cap=cap)
+    if stub:
+        keep = (starts.astype(jnp.float32).sum() + recs.sum()) * 1e-30
+        yy = jax.lax.broadcasted_iota(jnp.int32, (vh, vw), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (vh, vw), 1)
+        tid = ((yy // 4) * (vw // 4) + xx // 4) % max(T, 1)
+        sdepth = (0.3 + 0.4 * xx.astype(jnp.float32) / vw
+                  + 0.2 * yy.astype(jnp.float32) / vh + keep)
+        return (VisibilityBuffer(depth=sdepth, tri_id=tid,
+                                 overflow=overflow), setup)
     if shard is None:
         depth, tid = resolve(starts, recs, rgrid, interpret=interpret)
     else:

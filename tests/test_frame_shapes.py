@@ -58,3 +58,28 @@ def test_render_frame_shapes(cfg_kw):
     assert out.hiz_min[0].shape == (H // 2, W // 2)
     assert out.hiz_max[-1].shape == (1, 1)
     assert out.overflow.shape == ()
+    assert out.tex_dirty.shape == ()
+
+
+@pytest.mark.parametrize("stub", ["resolve", "shadow_resolve", "records",
+                                  "unlit"])
+def test_attribution_stubs_run(stub):
+    """The bench_toggle substitution stubs (VERDICT r3 item 1) must
+    trace, run, and stay finite — a stub that crashes on chip wastes a
+    250 s compile."""
+    plan, batch, g, hist, mm = _setup()
+    plan = dataclasses.replace(plan, stub=stub)
+    out, hist2 = fm.render_frame(plan, batch, g, hist, mm, mm)
+    assert np.isfinite(np.asarray(out.color)).all()
+    assert out.color.shape == (3, plan.config.height, plan.config.width)
+
+
+def test_vis_barrier_identical_output():
+    """vis_barrier is a scheduling probe only — pixels must not move."""
+    plan, batch, g, hist, mm = _setup()
+    out_a, _ = fm.render_frame(plan, batch, g, hist, mm, mm)
+    hist_b = fm.RenderHistory.create(plan.config)
+    out_b, _ = fm.render_frame(dataclasses.replace(plan, vis_barrier=True),
+                               batch, g, hist_b, mm, mm)
+    np.testing.assert_array_equal(np.asarray(out_a.color),
+                                  np.asarray(out_b.color))

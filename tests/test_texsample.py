@@ -62,7 +62,7 @@ def test_clean_tiles_match_xla(filter_mode):
     H = W = 64
     mid, uv, lod, live = _smooth_fields(H, W, atlas.num_materials)
 
-    got, overflow = texsample.sample_atlas_tiled(
+    got, overflow, n_dirty = texsample.sample_atlas_tiled(
         page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
         n_levels=atlas.n_levels, num_materials=atlas.num_materials,
         layer_stride=atlas.layer_stride, filter_mode=filter_mode,
@@ -74,6 +74,7 @@ def test_clean_tiles_match_xla(filter_mode):
         filter_mode=filter_mode)
 
     assert int(overflow) == 0
+    assert int(n_dirty) == 0        # smooth fields: no dirty tiles
     m = np.asarray(live)
     err = np.abs(np.asarray(got) - np.asarray(want))[:, m]
     assert err.max() < 3.5 / 255.0, err.max()   # bf16 blend rounding
@@ -95,7 +96,7 @@ def test_incoherent_tiles_fall_back_exactly():
     lod = jnp.asarray(rng.random(Pn, dtype=np.float32) * 4)
     live = jnp.ones((Pn,), bool)
 
-    got, overflow = texsample.sample_atlas_tiled(
+    got, overflow, n_dirty = texsample.sample_atlas_tiled(
         page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
         n_levels=atlas.n_levels, num_materials=atlas.num_materials,
         layer_stride=atlas.layer_stride, filter_mode="bilinear",
@@ -105,6 +106,7 @@ def test_incoherent_tiles_fall_back_exactly():
         size=atlas.size, layer_stride=atlas.layer_stride,
         n_levels=atlas.n_levels, filter_mode="bilinear")
     assert int(overflow) == 0
+    assert int(n_dirty) == (H // 16) * (W // 16)   # all tiles dirty
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=0.6 / 255.0)
 
@@ -120,12 +122,13 @@ def test_dirty_cap_overflow_flag():
     uv = jnp.asarray(rng.random((2, Pn), dtype=np.float32) * 8)
     lod = jnp.asarray(rng.random(Pn, dtype=np.float32) * 3)
     live = jnp.ones((Pn,), bool)
-    _, overflow = texsample.sample_atlas_tiled(
+    _, overflow, n_dirty = texsample.sample_atlas_tiled(
         page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
         n_levels=atlas.n_levels, num_materials=atlas.num_materials,
         layer_stride=atlas.layer_stride, dirty_cap=1,
         interpret=True, H=H, W=W)
     assert int(overflow) == texsample.OVERFLOW_TEX_DIRTY
+    assert int(n_dirty) > 1         # the cap (1) was genuinely exceeded
 
 
 def test_frame_integration_pallas_vs_xla():

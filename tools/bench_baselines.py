@@ -84,28 +84,36 @@ def main():
         def run(batch, gb, hist, mm, nm, plan=plan):
             def step(h, g):
                 out, h2 = frame_mod.render_frame(plan, batch, g, h, mm, nm)
-                probe = out.color[:, ::64, ::64].sum()
-                if out.hiz_min is not None:
-                    probe += out.hiz_min[-1].sum() + out.hiz_max[-1].sum()
-                return h2, probe
+                # frame.bench_probe consumes every enabled pass output
+                # (HiZ tops, un-composited SSR) so no pass is silently
+                # dead-code-eliminated out of the measured frame
+                # (VERDICT r3: config 7's SSR march was DCE'd).
+                # tex_dirty rides along per frame (VERDICT r3 item 6:
+                # record actual dirty-tile rates per config).
+                return h2, (frame_mod.bench_probe(out), out.tex_dirty)
             return jax.lax.scan(step, hist, gb)
 
         runj = jax.jit(run, donate_argnames=("hist",))
         hist = frame_mod.RenderHistory.create(cfg)
         t0 = time.perf_counter()
-        _, probes = runj(built.batch, gb, hist, mm, nm)
+        _, (probes, dirts) = runj(built.batch, gb, hist, mm, nm)
         float(probes.sum())
         compile_s = time.perf_counter() - t0
         hist = frame_mod.RenderHistory.create(cfg)
         t0 = time.perf_counter()
-        _, probes = runj(built.batch, gb, hist, mm, nm)
+        _, (probes, dirts) = runj(built.batch, gb, hist, mm, nm)
         float(probes.sum())
         ms = (time.perf_counter() - t0) * 1e3 / args.frames
         tris = built.batch.num_triangles
         mpix = cfg.width * cfg.height / 1e6
+        dirts = np.asarray(dirts)
+        dirty_s = ("n/a (xla tex path)" if dirts.max() < 0 else
+                   f"{dirts.min()}..{dirts.max()} "
+                   f"(cap {plan.tex_dirty_cap})")
         print(f"config {num}: {ms:8.2f} ms/frame  "
               f"({tris/1e3:.0f}k tris, {tris * 1e3 / ms / 1e6:.0f} Mtris/s, "
-              f"{mpix * 1e3 / ms:.0f} Mpix/s, compile {compile_s:.0f}s)  "
+              f"{mpix * 1e3 / ms:.0f} Mpix/s, compile {compile_s:.0f}s, "
+              f"dirty tiles {dirty_s})  "
               f"— {desc}", flush=True)
 
 

@@ -46,6 +46,12 @@ def main():
         3: ("sponza", dict(width=1280, height=736)),
         4: ("terrain", dict(width=1920, height=1088)),
         5: ("full", dict(width=1920, height=1088)),
+        6: ("helmet_lifted", dict(width=1280, height=736,
+                                  shadow_resolution=4096,
+                                  enable_bloom=False, enable_clouds=False,
+                                  enable_taa=False,
+                                  enable_auto_exposure=False,
+                                  enable_hiz=False)),
     }
 
     import dataclasses
@@ -85,11 +91,8 @@ def main():
         def run(batch, gb, hist, mm, nm):
             def step(h, g):
                 out, h2 = frame_mod.render_frame(plan, batch, g, h, mm, nm)
-                probe = out.color[:, ::64, ::64].sum()
-                if out.hiz_min is not None:
-                    probe = probe + out.hiz_min[-1].sum() \
-                        + out.hiz_max[-1].sum()
-                return h2, probe
+                # see frame.bench_probe for the probe-liveness rules
+                return h2, frame_mod.bench_probe(out)
             return jax.lax.scan(step, hist, gb)
 
         runj = jax.jit(run, donate_argnames=("hist",))
@@ -123,6 +126,21 @@ def main():
         "tex_none": (cfg0, dict(texture_filter="none")),
         "tex_nearest": (cfg0, dict(texture_filter="nearest")),
         "tex_trilinear": (cfg0, dict(texture_filter="trilinear")),
+        # stage-level substitution stubs (VERDICT r3 item 1): each
+        # replaces ONE stage with a cheap synthetic producer while
+        # keeping the rest of the frame (and the stubbed stage's
+        # upstream) live — delta = that stage's in-frame cost.  See
+        # FramePlan.stub for semantics.
+        "stub_resolve": (cfg0, dict(stub="resolve")),
+        "stub_shadow_resolve": (cfg0, dict(stub="shadow_resolve")),
+        "stub_records": (cfg0, dict(stub="records")),
+        "unlit": (cfg0, dict(stub="unlit")),
+        # diagnostic probes for the -hiz anomaly (VERDICT r3 item 4):
+        # materialize vis.depth/tri_id behind a barrier, with HiZ on
+        # (vis_barrier) and off (visbar_nohiz)
+        "vis_barrier": (cfg0, dict(vis_barrier=True)),
+        "visbar_nohiz": (cfg0.replace(enable_hiz=False),
+                         dict(vis_barrier=True)),
     }
     for name in args.toggles.split(","):
         if name not in variants:
@@ -133,7 +151,10 @@ def main():
             ms, cs = measure(v[0], **v[1])
         else:
             ms, cs = measure(v)
-        tag = "-" + name if not name.endswith("_xla") else name
+        plain = (name.endswith("_xla")
+                 or name.startswith(("stub_", "tex_", "vis"))
+                 or name == "unlit")
+        tag = name if plain else "-" + name
         print(f"{tag:24s} {ms:8.2f} ms/frame  delta {base_ms - ms:+8.2f}"
               f"  (compile {cs:.0f}s)", flush=True)
 

@@ -107,7 +107,7 @@ def main():
     vis, setup = raster2.rasterize(clip, plan.main_grid, "front", False)
     records = gbuffer.build_shading_records(setup, world, wnrm, batch.tri_uv,
                                             batch.static_rows)
-    gbuf, _ = gbuffer.resolve_gbuffer(
+    gbuf, _, _ = gbuffer.resolve_gbuffer(
         vis, records, batch.atlas_packed, g.camera_prev.projection_view,
         atlas_size=plan.atlas_size, layer_stride=plan.atlas_layer_stride,
         n_levels=plan.atlas_n_levels, filter_mode=args.filter)

@@ -178,14 +178,14 @@ def main():
                                          jnp.asarray(nm))
     records = gbuf_ops.build_shading_records(
         setup2, world, wnrm, built.batch.tri_uv, built.batch.static_rows)
-    gb_p, _ = gbuf_ops.resolve_gbuffer(
+    gb_p, _, _ = gbuf_ops.resolve_gbuffer(
         vis2, records, built.batch.atlas_packed,
         g.camera_prev.projection_view, atlas_size=plan.atlas_size,
         layer_stride=plan.atlas_layer_stride,
         n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter,
         atlas_page=built.batch.atlas_page,
         num_materials=plan.atlas_num_materials, interpret=interp)
-    gb_x, _ = gbuf_ops.resolve_gbuffer(
+    gb_x, _, _ = gbuf_ops.resolve_gbuffer(
         vis2, records, built.batch.atlas_packed,
         g.camera_prev.projection_view, atlas_size=plan.atlas_size,
         layer_stride=plan.atlas_layer_stride,
@@ -218,24 +218,79 @@ def main():
         ]
         from soc_real_time_renderer_tpu.utils.image_io import save_png
         from PIL import Image
+        import json
+        import subprocess
+        import datetime
+        manifest_path = os.path.join(GOLD_DIR, "manifest.json")
+        manifest = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        # golden capture warms up WARMUP frames first: frame 1 has a
+        # zero exposure state (auto-exposure's exponential smoothing
+        # hasn't converged, resolve_luminance_histogram.inl:72-80
+        # analog), so a frame-1 golden of an auto-exposure config is
+        # near-black and barely detects lighting regressions (ADVICE r3
+        # medium).  16 frames ≈ 5 smoothing time constants at the
+        # reference defaults.
+        WARMUP = 16
         for name, scene, kw in CONFIGS:
             b = scenes.build(scene, RenderConfig(**kw))
-            gg, mm2, nm2 = b.frame_globals(1)
             render = fm.make_render_fn(b.plan)
-            o, _ = render(b.batch, gg, fm.RenderHistory.create(
-                b.plan.config), mm2, nm2)
+            h = fm.RenderHistory.create(b.plan.config)
+            o = None
+            for i in range(WARMUP):
+                gg, mm2, nm2 = b.frame_globals(i + 1)
+                o, h = render(b.batch, gg, h, mm2, nm2)
             img = np.asarray(jnp.clip(o.color, 0, 1) * 255).astype(
                 np.uint8).transpose(1, 2, 0)
             path = os.path.join(GOLD_DIR, f"{name}.png")
             if args.update or not os.path.exists(path):
                 save_png(path, img, already_u8=True)
+                try:
+                    commit = subprocess.run(
+                        ["git", "rev-parse", "HEAD"], cwd=GOLD_DIR,
+                        capture_output=True, text=True).stdout.strip()
+                except Exception:
+                    commit = "unknown"
+                # provenance sidecar (ADVICE r3 low): proves the PNGs
+                # pin Mosaic/chip behaviour, not CPU interpret output
+                manifest[name] = {
+                    "backend": backend,
+                    "device": str(jax.devices()[0]),
+                    "interpret": bool(interp),
+                    "warmup_frames": WARMUP,
+                    "git_commit": commit,
+                    "written_utc":
+                        datetime.datetime.utcnow().isoformat() + "Z",
+                }
+                with open(manifest_path, "w") as f:
+                    json.dump(manifest, f, indent=1, sort_keys=True)
                 print(f"[gold] wrote {path}", flush=True)
+                continue
+            prov = manifest.get(name)
+            if prov is None or prov.get("interpret") or \
+                    prov.get("backend") not in ("tpu", "axon"):
+                check(f"golden-{name}-provenance", False,
+                      f"golden was not chip-generated ({prov}); re-run "
+                      "verify_chip --update on the real TPU")
+                continue
+            if prov.get("warmup_frames") != WARMUP:
+                check(f"golden-{name}-provenance", False,
+                      f"golden captured at warmup={prov.get('warmup_frames')}"
+                      f" but the tool now warms up {WARMUP}; --update")
                 continue
             want = np.asarray(Image.open(path).convert("RGB"))
             d = np.abs(img.astype(np.float32) - want.astype(np.float32))
             mean, p99 = d.mean(), np.percentile(d, 99)
-            check(f"golden-{name}", mean < 2.0 and p99 < 12.0,
-                  f"mean {mean:.3f} p99 {p99:.1f} (u8)")
+            # tolerance scales with the golden's own brightness so a
+            # dark golden can't degenerate into a vacuous check (an
+            # all-black frame must FAIL against a lit golden)
+            gmean = want.astype(np.float32).mean()
+            mean_tol = min(2.0, max(0.5, 0.04 * gmean))
+            check(f"golden-{name}", mean < mean_tol and p99 < 12.0,
+                  f"mean {mean:.3f} (tol {mean_tol:.2f}, golden mean "
+                  f"{gmean:.1f}) p99 {p99:.1f} (u8)")
 
     print(("ALL OK" if not FAILURES else
            f"{len(FAILURES)} FAILURES: {FAILURES}"), flush=True)

@@ -126,10 +126,17 @@ class FramePlan:
     # G-buffer record gather (delta = fat gather + interpolation).
     # "unlit": composition = albedo passthrough (delta = lighting).
     stub: str = ""
-    # Diagnostic: materialize vis.depth/tri_id behind an
-    # optimization_barrier before the shade stage (the -hiz anomaly
-    # probe, VERDICT r3 item 4).
-    vis_barrier: bool = False
+    # Materialize vis.depth/tri_id behind an optimization_barrier
+    # before the shade stage.  Root cause of the round-3 "-hiz makes
+    # the frame SLOWER" anomaly (VERDICT r3 item 4): the visibility
+    # buffer is a padded Pallas output that every screen-space pass
+    # reads through a crop slice; when HiZ is enabled its reduction
+    # happened to force the cropped buffer to materialize once, and
+    # with HiZ off XLA re-fused the crop into each consumer (measured
+    # on chip, config 3: hiz-off 61.68 ms -> 58.23 with the barrier;
+    # with HiZ on the barrier is free, 58.86 -> 58.84).  Default ON;
+    # False only for the bench_toggle A/B probe.
+    vis_barrier: bool = True
 
     @staticmethod
     def create(config: RenderConfig, atlas: PackedMaterialAtlas,
@@ -233,18 +240,36 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
              else None)
     world, wnrm = transform_triangles(batch, model_mats, normal_mats)
     clip = _clip_of(world, g.camera.projection_view)
-    vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
-                                   interpret=plan.interpret, shard=shard,
-                                   stub=(plan.stub == "resolve"))
+    if plan.stub == "raster":
+        # attribution stub: skip binning AND resolve for the main view
+        # (setup still runs — the shading records need it); combined
+        # with stub="resolve" (binning kept) this splits the raster
+        # cost into binning vs resolve-kernel parts.
+        setup = raster2.triangle_setup_planar(
+            clip, plan.main_grid.width, plan.main_grid.height, "front")
+        vis = raster2.stub_vis(plan.main_grid.height, plan.main_grid.width,
+                               batch.num_triangles)
+        vis = dataclasses.replace(
+            vis, depth=vis.depth[:cfg.height, :cfg.width],
+            tri_id=vis.tri_id[:cfg.height, :cfg.width])
+    else:
+        vis, setup = raster2.rasterize(clip, plan.main_grid, cull="front",
+                                       interpret=plan.interpret,
+                                       shard=shard,
+                                       stub=(plan.stub == "resolve"))
 
     # ---- sun shadow raster (T4; back-face cull, sun_shadow_draw.inl)
     shadow_map = None
     overflow = vis.overflow
     if cfg.enable_shadows and not plan.shadow_statically_empty:
         sclip = _clip_of(world, g.sun.projection_view)
+        # depth_only: the sun shadow view only ever consumes depth
+        # (sun_shadow_draw.inl writes D32 only) — the id-free resolve
+        # kernel skips winner tracking and half the write-back
         svis, _ = raster2.rasterize(sclip, plan.shadow_grid, cull="back",
                                     interpret=plan.interpret, shard=shard,
-                                    stub=(plan.stub == "shadow_resolve"))
+                                    stub=(plan.stub == "shadow_resolve"),
+                                    depth_only=True)
         shadow_map = svis.depth
         overflow = overflow | svis.overflow
 

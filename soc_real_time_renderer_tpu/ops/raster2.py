@@ -63,7 +63,8 @@ class VisibilityBuffer:
     interpolation is deferred to ops/gbuffer.py, keeping the raster
     inner loop at 5 linear functionals per triangle."""
     depth: jax.Array    # (H, W) float32 in [0, 1]; 1.0 where no hit
-    tri_id: jax.Array   # (H, W) int32 triangle index; -1 where no hit
+    tri_id: jax.Array | None   # (H, W) int32 triangle index; -1 where
+    #                       no hit; None for depth-only views (shadow)
     overflow: jax.Array  # () int32 bitmask: OVERFLOW_* bits set when any
     #                       static cap truncated fragments this frame.
     #                       The reference (hardware raster) never drops
@@ -335,6 +336,79 @@ def build_pairs(setup: PlanarSetup, grid: BinGrid):
 # ---------------------------------------------------------------------------
 
 
+def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
+                          depth_ref, scratch, sem):
+    """Depth-only resolve (shadow views, depth_prepass semantics): no
+    winner-id tracking, half the output write-back.  The sun shadow
+    pass only ever consumes depth (``sun_shadow_draw.inl:116-133``
+    writes D32 only), so the tri_id plane and its per-chunk min-select
+    are pure waste there — measured as part of the config-6 paid-shadow
+    fix (VERDICT r3 item 3)."""
+    bw, bh, G, K = grid.bw, grid.bh, grid.group, grid.chunk
+    BX = grid.bx
+    P = bw * bh
+    PSUB = min(P, 1024)
+    NSUB = P // PSUB
+    rows_per_sub = PSUB // bw
+    assert P % PSUB == 0 and PSUB % bw == 0, (bw, bh, P, PSUB)
+    gy = pl.program_id(0) + row0_ref[0]
+    gx = pl.program_id(1)
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (PSUB, 1), 0)
+    lx = (pix % bw).astype(jnp.float32)
+    ly_base = (pix // bw).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    for bl in range(G):
+        b = gy * BX + gx * G + bl
+        start = starts_ref[b]
+        end = starts_ref[b + 1]
+        col0 = (start // K) * K
+        ox = ((gx * G + bl) * bw).astype(jnp.float32)
+        oy = (gy * bh).astype(jnp.float32)
+
+        for sub in range(NSUB):
+            px = lx + ox + 0.5
+            py = ly_base + (sub * rows_per_sub) + oy + 0.5
+
+            def chunk_cond(carry):
+                ci, zb = carry
+                return ci < nch
+
+            def chunk_body(carry):
+                ci, zb = carry
+                col = jnp.minimum(col0 + ci * K, grid.pair_cap - K)
+                col = pl.multiple_of(col, K)
+                dma = pltpu.make_async_copy(
+                    recs_ref.at[:, pl.ds(col, K)], scratch, sem)
+                dma.start()
+                dma.wait()
+                rec = scratch[:]
+                gcol = lane + col
+                ok = (gcol >= start) & (gcol < end)
+                e0 = rec[0:1] * px + rec[1:2] * py + rec[2:3]
+                e1 = rec[3:4] * px + rec[4:5] * py + rec[5:6]
+                e2 = rec[6:7] * px + rec[7:8] * py + rec[8:9]
+                cov = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & ok
+                ez = e0 * rec[9:10] + e1 * rec[10:11] + e2 * rec[11:12]
+                ew = e0 * rec[12:13] + e1 * rec[13:14] + e2 * rec[14:15]
+                cov &= ew > 0
+                z = ez / jnp.where(ew != 0, ew, 1.0)
+                cov &= (z >= 0.0) & (z <= 1.0)
+                zc = jnp.min(jnp.where(cov, z, jnp.inf), axis=1,
+                             keepdims=True)
+                return ci + 1, jnp.minimum(zb, zc)
+
+            z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)
+            nch = (end - col0 + K - 1) // K
+            _, zb = jax.lax.while_loop(chunk_cond, chunk_body,
+                                       (jnp.int32(0), z0))
+            zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
+            r0 = sub * rows_per_sub
+            depth_ref[r0:r0 + rows_per_sub, bl * bw:(bl + 1) * bw] = (
+                zb.reshape(rows_per_sub, bw))
+
+
 def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                     depth_ref, id_ref, scratch, sem):
     bw, bh, G, K = grid.bw, grid.bh, grid.group, grid.chunk
@@ -447,27 +521,48 @@ def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
 
 
 def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
-            row0=None):
-    """Pallas bin resolve -> (depth (H', W'), tri_id (H', W')), padded
-    to the bin grid (caller crops to the viewport).
+            row0=None, depth_only: bool = False):
+    """Pallas bin resolve -> (depth (H', W'), tri_id (H', W') or None),
+    padded to the bin grid (caller crops to the viewport).
 
     `row0` (optional (1,) i32): global bin-row offset of this call's
     first bin row — used by resolve_row_sharded, where `grid` describes
-    one device's band but `starts` is the global table."""
+    one device's band but `starts` is the global table.
+
+    depth_only: run the id-free kernel (shadow views) — returns
+    (depth, None)."""
     bw, bh, G = grid.bw, grid.bh, grid.group
     BY, BX = grid.by, grid.bx
     if row0 is None:
         row0 = jnp.zeros((1,), jnp.int32)
+
+    def ospec():
+        return pl.BlockSpec((bh, G * bw),
+                            lambda gy, gx, starts, row0: (gy, gx),
+                            memory_space=pltpu.VMEM)
+
+    if depth_only:
+        gspec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BY, BX // G),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[ospec()],
+            scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+        )
+        depth, = pl.pallas_call(
+            functools.partial(_resolve_depth_kernel, grid),
+            out_shape=(jax.ShapeDtypeStruct((BY * bh, BX * bw),
+                                            jnp.float32),),
+            grid_spec=gspec,
+            interpret=interpret,
+        )(starts, row0, recs)
+        return depth, None
     gspec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(BY, BX // G),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts, row0: (gy, gx),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, G * bw), lambda gy, gx, starts, row0: (gy, gx),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[ospec(), ospec()],
         scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
@@ -482,7 +577,8 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
 
 
 def resolve_row_sharded(starts, recs, grid: BinGrid, mesh, axis: str,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        depth_only: bool = False):
     """Resolve with bin ROWS split over a device mesh axis (SURVEY §2.6
     P6): each device DMAs and evaluates only its band's record chunks,
     so raster latency scales with devices instead of replicating.  The
@@ -503,17 +599,41 @@ def resolve_row_sharded(starts, recs, grid: BinGrid, mesh, axis: str,
     def per_shard(starts_l, recs_l):
         row0 = jnp.reshape(jax.lax.axis_index(axis) * BYs,
                            (1,)).astype(jnp.int32)
-        return resolve(starts_l, recs_l, band_grid, interpret=interpret,
-                       row0=row0)
+        out = resolve(starts_l, recs_l, band_grid, interpret=interpret,
+                      row0=row0, depth_only=depth_only)
+        return out[0] if depth_only else out
 
+    spec = P(axis, None)
+    if depth_only:
+        depth = shard_map(per_shard, mesh=mesh, in_specs=(P(), P()),
+                          out_specs=spec, check_vma=False)(starts, recs)
+        return depth, None
     return shard_map(per_shard, mesh=mesh, in_specs=(P(), P()),
-                     out_specs=(P(axis, None), P(axis, None)),
+                     out_specs=(spec, spec),
                      check_vma=False)(starts, recs)
+
+
+def stub_vis(vh, vw, T, keep=0.0, depth_only=False, overflow=None):
+    """Fabricated visibility buffer for the attribution stubs
+    (tools/bench_toggle.py): 4x4-pixel blocks of one tri_id (gather
+    coherence downstream), smooth in-range depth, no misses.  `keep` is
+    an epsilon term added to depth so upstream ops the stub is meant to
+    keep live cannot be folded away.  NOT a rendering mode."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (vh, vw), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (vh, vw), 1)
+    tid = ((yy // 4) * (vw // 4) + xx // 4) % max(T, 1)
+    sdepth = (0.3 + 0.4 * xx.astype(jnp.float32) / vw
+              + 0.2 * yy.astype(jnp.float32) / vh + keep)
+    if overflow is None:
+        overflow = jnp.int32(0)
+    return VisibilityBuffer(depth=sdepth,
+                            tri_id=None if depth_only else tid,
+                            overflow=overflow)
 
 
 def rasterize(clip, grid: BinGrid, cull: str = "front",
               interpret: bool | None = None, shard=None,
-              stub: bool = False
+              stub: bool = False, depth_only: bool = False
               ) -> tuple[VisibilityBuffer, PlanarSetup]:
     """Full raster: clip (3 verts, 4 comps, T) planar clip positions
     (models/scene_batch.py layout) -> visibility buffer.
@@ -555,23 +675,21 @@ def rasterize(clip, grid: BinGrid, cull: str = "front",
     rgrid = dataclasses.replace(grid, pair_cap=cap)
     if stub:
         keep = (starts.astype(jnp.float32).sum() + recs.sum()) * 1e-30
-        yy = jax.lax.broadcasted_iota(jnp.int32, (vh, vw), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (vh, vw), 1)
-        tid = ((yy // 4) * (vw // 4) + xx // 4) % max(T, 1)
-        sdepth = (0.3 + 0.4 * xx.astype(jnp.float32) / vw
-                  + 0.2 * yy.astype(jnp.float32) / vh + keep)
-        return (VisibilityBuffer(depth=sdepth, tri_id=tid,
-                                 overflow=overflow), setup)
+        vis = stub_vis(vh, vw, T, keep=keep, depth_only=depth_only,
+                       overflow=overflow)
+        return vis, setup
     if shard is None:
-        depth, tid = resolve(starts, recs, rgrid, interpret=interpret)
+        depth, tid = resolve(starts, recs, rgrid, interpret=interpret,
+                             depth_only=depth_only)
     else:
         depth, tid = resolve_row_sharded(starts, recs, rgrid, mesh, axis,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         depth_only=depth_only)
     vis = VisibilityBuffer(depth=depth[:vh, :vw],
-                           tri_id=tid[:vh, :vw],
+                           tri_id=None if tid is None else tid[:vh, :vw],
                            overflow=overflow)
     return vis, setup
 
 
-rasterize_jit = jax.jit(rasterize, static_argnames=("grid", "cull",
-                                                    "interpret", "shard"))
+rasterize_jit = jax.jit(rasterize, static_argnames=(
+    "grid", "cull", "interpret", "shard", "stub", "depth_only"))

@@ -61,8 +61,8 @@ def test_render_frame_shapes(cfg_kw):
     assert out.tex_dirty.shape == ()
 
 
-@pytest.mark.parametrize("stub", ["resolve", "shadow_resolve", "records",
-                                  "unlit"])
+@pytest.mark.parametrize("stub", ["resolve", "raster", "shadow_resolve",
+                                  "records", "unlit"])
 def test_attribution_stubs_run(stub):
     """The bench_toggle substitution stubs (VERDICT r3 item 1) must
     trace, run, and stay finite — a stub that crashes on chip wastes a

@@ -166,3 +166,21 @@ def test_jit_and_no_recompile():
     a = f(tri_clip)
     b = f(tri_clip * 1.0)
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth))
+
+
+def test_depth_only_matches_full():
+    """The id-free shadow resolve kernel must produce bit-identical
+    depth to the full kernel (same records, same chunk math)."""
+    rng = np.random.default_rng(9)
+    n = 40
+    centers = rng.uniform([-1, -1, -4], [1, 1, -2], (n, 3))
+    offs = rng.uniform(-0.5, 0.5, (n, 3, 3))
+    verts = (centers[:, None, :] + offs).reshape(-1, 3).astype(np.float32)
+    clip = make_clip(verts)
+    tri_clip = jnp.asarray(clip.reshape(n, 3, 4).transpose(1, 2, 0))
+    vis_full, _ = raster2.rasterize_jit(tri_clip, GRID, "none", True)
+    vis_d, _ = raster2.rasterize_jit(tri_clip, GRID, "none", True,
+                                     None, False, True)
+    assert vis_d.tri_id is None
+    np.testing.assert_array_equal(np.asarray(vis_d.depth),
+                                  np.asarray(vis_full.depth))

@@ -132,13 +132,14 @@ def main():
         # upstream) live — delta = that stage's in-frame cost.  See
         # FramePlan.stub for semantics.
         "stub_resolve": (cfg0, dict(stub="resolve")),
+        "stub_raster": (cfg0, dict(stub="raster")),
         "stub_shadow_resolve": (cfg0, dict(stub="shadow_resolve")),
         "stub_records": (cfg0, dict(stub="records")),
         "unlit": (cfg0, dict(stub="unlit")),
-        # diagnostic probes for the -hiz anomaly (VERDICT r3 item 4):
-        # materialize vis.depth/tri_id behind a barrier, with HiZ on
-        # (vis_barrier) and off (visbar_nohiz)
-        "vis_barrier": (cfg0, dict(vis_barrier=True)),
+        # -hiz anomaly probes (VERDICT r3 item 4; RESOLVED — the vis
+        # barrier is now the default): "no_visbar" re-opens the
+        # pathology for regression checks
+        "no_visbar": (cfg0, dict(vis_barrier=False)),
         "visbar_nohiz": (cfg0.replace(enable_hiz=False),
                          dict(vis_barrier=True)),
     }

@@ -92,7 +92,15 @@ class FramePlan:
     # crossover).
     texture_impl: str = "auto"
     atlas_num_materials: int = 1
-    tex_dirty_cap: int = 768     # fallback tiles before OVERFLOW_TEX_DIRTY
+    # Fallback tiles before OVERFLOW_TEX_DIRTY.  The fallback re-gathers
+    # cap*256 pixels through the XLA path EVERY frame regardless of the
+    # actual dirty count (masking measured slower — texsample.py), so
+    # the cap is a fixed tax; sized from measured rates
+    # (tools/study_texplanner.py + bench_baselines dirty telemetry:
+    # sponza 736p = 24 dirty tiles, full 1088p = 36) with >5x margin.
+    # FrameOutputs.tex_dirty + the overflow bit catch any scene that
+    # exceeds it.
+    tex_dirty_cap: int = 192
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so

@@ -400,7 +400,12 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                 return ci + 1, jnp.minimum(zb, zc)
 
             z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)
-            nch = (end - col0 + K - 1) // K
+            # empty bins must run ZERO chunks: the naive ceil-div is 1
+            # when start == end but start % K != 0, and a sparse view
+            # (4096² shadow map, sky bins of the main view) pays a
+            # wasted DMA + full (PSUB, K) eval per sub-block for it —
+            # measured as the dominant shadow-view cost (bench_shadow)
+            nch = jnp.where(end > start, (end - col0 + K - 1) // K, 0)
             _, zb = jax.lax.while_loop(chunk_cond, chunk_body,
                                        (jnp.int32(0), z0))
             zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
@@ -508,7 +513,8 @@ def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
 
             z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)
             i0 = jnp.full((PSUB, 1), -1, jnp.int32)
-            nch = (end - col0 + K - 1) // K
+            # zero chunks for empty bins (see _resolve_depth_kernel)
+            nch = jnp.where(end > start, (end - col0 + K - 1) // K, 0)
             _, zb, ib, _ = jax.lax.while_loop(
                 chunk_cond, chunk_body,
                 (jnp.int32(0), z0, i0, jnp.bool_(False)))

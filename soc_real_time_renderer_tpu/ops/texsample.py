@@ -67,7 +67,11 @@ TH = 16          # tile height (px)
 TW = 16          # tile width (px)
 P = TH * TW      # pixels per tile
 K_TOP = 6        # (material, level) pairs considered per tile
-NBLK = 8         # window slots per tile
+NBLK = 6         # window slots per tile: sized from measured slot
+#                  distributions (tools/study_texplanner.py, sponza
+#                  736p: p99 slots = 6; NBLK 8 -> 6 adds ONE dirty tile
+#                  of 3680 while cutting the U-matmul contraction dim
+#                  and per-tile window DMA by 25%)
 WIN_R = 48       # window rows (32 bbox + 16 row-align slack)
 WIN_C = 64       # window cols in texels (32 bbox + 32 col-align slack)
 CH = 12          # bf16 lanes per texel in the page (11 channels + pad)
@@ -212,16 +216,24 @@ def _masked_bbox(m, x0, y0):
 
 
 def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
-                     size: int, n_levels: int, num_materials: int):
+                     size: int, n_levels: int, num_materials: int,
+                     k_top: int = K_TOP, nblk: int = NBLK):
     """Per-tile window planning on tiled (NT, P) arrays.
 
     level_t: (NT, P) int32 mip level per pixel (round(lod) for
     nearest-mip bilinear; floor / floor+1 for the trilinear passes).
 
+    k_top / nblk: default the production constants; overridable for
+    offline planner studies (tools/study_texplanner.py) — the Pallas
+    kernel's geometry is compiled against the module NBLK, so only the
+    defaults are valid for rendering.
+
     Returns (perpx (NT, 4, P) f32 [row_idx0, fv, u0, fu],
-    dma (NT, NBLK, 2) i32 window origins,
+    dma (NT, nblk, 2) i32 window origins,
     used (NT,) i32 slot count, dirty (NT,) bool).
     """
+    K_TOP = k_top
+    NBLK = nblk
     M, L = num_materials, n_levels
     NT = mid_t.shape[0]
 
@@ -441,16 +453,16 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
 # ---------------------------------------------------------------------------
 
 
-TPS = 4          # tiles per grid step: the measured kernel floor is
+TPS = 8          # tiles per grid step: the measured kernel floor is
 #                  STRUCTURAL, not compute — an empty kernel with the
 #                  per-tile grid + (P, 128) block writes costs 5.5 ms
 #                  of the 10.2 ms total at 3680 tiles (bench_texkernel
-#                  _parts.py: "nothing" variant).  Batching 4 tiles per
-#                  step cuts grid steps and HBM writes 4x; each tile's
-#                  channels land in a 32-lane stripe of one shared
-#                  (P, 128) output block.
+#                  _parts.py: "nothing" variant).  Batching tiles per
+#                  step cuts grid steps and HBM writes; 8 tiles/step
+#                  fits VMEM once NBLK=6 (w_buf 2 x 8*288 x 768 bf16 =
+#                  7.1 MB) and halves the round-3 step count again.
 OUT_SUB = 32     # output lanes per tile (channels 0..CH-1 + zero pad)
-OUT_PAD = TPS * OUT_SUB          # = 128: one vreg-native block
+OUT_PAD = TPS * OUT_SUB          # = 256: two vreg-wide output block
 
 
 def _tile_kernel(meta_ref, perpx_ref, sel_ref, page_ref, out_ref, w_buf,
@@ -611,7 +623,7 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
                        atlas_fallback, *, size: int, n_levels: int,
                        num_materials: int, layer_stride: int,
                        filter_mode: str = "bilinear",
-                       dirty_cap: int = 768,
+                       dirty_cap: int = 192,
                        interpret: bool = False, H: int = 0, W: int = 0):
     """Tiled sampling of the 11 material channels.
 

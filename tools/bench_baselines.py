@@ -19,6 +19,11 @@ def main():
     ap.add_argument("--filter", default="",
                     help="override FramePlan.texture_filter "
                          "(bilinear/trilinear A/B, VERDICT r2 item 4)")
+    ap.add_argument("--compiler-opt", action="append", default=[],
+                    help="key=value XLA compiler option (repeatable) — "
+                         "compile-latency experiments (VERDICT r3 item "
+                         "8), e.g. xla_tpu_enable_latency_hiding_"
+                         "scheduler=false")
     args = ap.parse_args()
 
     import dataclasses
@@ -93,7 +98,9 @@ def main():
                 return h2, (frame_mod.bench_probe(out), out.tex_dirty)
             return jax.lax.scan(step, hist, gb)
 
-        runj = jax.jit(run, donate_argnames=("hist",))
+        copts = dict(kv.split("=", 1) for kv in args.compiler_opt) or None
+        runj = jax.jit(run, donate_argnames=("hist",),
+                       compiler_options=copts)
         hist = frame_mod.RenderHistory.create(cfg)
         t0 = time.perf_counter()
         _, (probes, dirts) = runj(built.batch, gb, hist, mm, nm)

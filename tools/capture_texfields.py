@@ -23,9 +23,15 @@ def main():
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frame", type=int, default=1)
     ap.add_argument("--out", default="/tmp/texfields.npz")
+    ap.add_argument("--platform", default="",
+                    help="'cpu' pins the CPU backend in-process (the "
+                         "axon sitecustomize overrides JAX_PLATFORMS)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
 

@@ -95,12 +95,14 @@ class FramePlan:
     # Fallback tiles before OVERFLOW_TEX_DIRTY.  The fallback re-gathers
     # cap*256 pixels through the XLA path EVERY frame regardless of the
     # actual dirty count (masking measured slower — texsample.py), so
-    # the cap is a fixed tax; sized from measured rates
-    # (tools/study_texplanner.py + bench_baselines dirty telemetry:
-    # sponza 736p = 24 dirty tiles, full 1088p = 36) with >5x margin.
-    # FrameOutputs.tex_dirty + the overflow bit catch any scene that
-    # exceeds it.
-    tex_dirty_cap: int = 192
+    # the cap is a fixed tax.  Sized from CHIP-captured fields
+    # (tools/study_texplanner.py on tools/capture_texfields.py output:
+    # sponza 736p = 539 dirty tiles at NBLK=6; CPU-captured fields
+    # under-count dirty ~20x — TPU lod arithmetic splits more mip
+    # levels per tile, so always size from chip captures).
+    # FrameOutputs.tex_dirty + the overflow bit catch scenes exceeding
+    # it; bench_baselines prints the per-frame range.
+    tex_dirty_cap: int = 768
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so
@@ -127,6 +129,12 @@ class FramePlan:
     # proved matrices, and silently substituting the 1.0 map under a
     # different sun would render wrong shadows with no error.
     proved_sun_pv: tuple | None = None
+    # Static shadow-map sampling crop (x0, y0, w, h) in texels, proved
+    # at scene build (scenes._prove_shadow): every texel outside it is
+    # exactly the 1.0 clear, so composition's ESM factor samples a
+    # small slice instead of the full (latency-plateau) 4096² table —
+    # bit-identical output.  None = sample the full map.
+    shadow_crop: tuple | None = None
     # Attribution stubs (tools/bench_toggle.py; VERDICT r3 item 1) —
     # NOT rendering modes.  "": off.  "resolve": fabricate the main
     # visibility buffer after binning (delta = main resolve kernel).
@@ -522,7 +530,8 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
             max_point_lights=cfg.max_point_lights,
             max_spot_lights=cfg.max_spot_lights,
             empty_shadow_map=(cfg.enable_shadows
-                              and plan.shadow_statically_empty))
+                              and plan.shadow_statically_empty),
+            shadow_crop=plan.shadow_crop)
     # render-target barrier: TAA shifts hdr 9 ways and the histogram
     # reduces it — fused recompute of composition per consumer is the
     # dominant glue cost at 1080p (PERF.md round-2 item 6)

@@ -138,7 +138,8 @@ def _local_lights(g: ShaderGlobals, albedo, normal, position,
 def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
             shadow_map, clouds, *, enable_volumetric: bool = False,
             enable_shadow: bool = True, max_point_lights: int = 128,
-            max_spot_lights: int = 128, empty_shadow_map: bool = False):
+            max_spot_lights: int = 128, empty_shadow_map: bool = False,
+            shadow_crop: tuple | None = None):
     """Full composition pass (planar).
 
     depth: (H, W); albedo/emissive/normal: (3, H, W); ssao: (H, W);
@@ -148,6 +149,14 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
     state, see FramePlan.shadow_statically_empty); the ESM factor is
     computed against the constant 1.0 (bilinear of an all-1.0 map is
     exactly 1.0 incl. clamp-to-edge), skipping the 2.1M-index gather.
+    shadow_crop: static (x0, y0, w, h) texel window proved at build to
+    contain every non-1.0 texel with >= 1 texel of 1.0 ring inside it
+    (FramePlan.shadow_crop): the ESM bilinear samples the crop slice
+    with shifted texel coords — clamping to the crop edge lands on the
+    proved-1.0 ring, exactly what the full-map tap (a bilinear of 1.0
+    texels, or the map-edge clamp where the crop reaches the edge)
+    returns, so output is bit-identical while the gather table shrinks
+    from the full (latency-plateau) map to the geometry's footprint.
     Returns (3, H, W) HDR colour.
     """
     H, W = depth.shape
@@ -168,6 +177,19 @@ def compose(g: ShaderGlobals, depth, albedo, emissive, normal, ssao,
         sp, _ = _project(spv, position)
         if empty_shadow_map:
             sdepth = jnp.float32(1.0)   # all-1.0 map sampled bilinearly
+        elif shadow_crop is not None:
+            S = shadow_map.shape[-1]
+            x0, y0, cw, ch = shadow_crop
+            sub = shadow_map[y0:y0 + ch, x0:x0 + cw]
+            # crop-local TEXEL coords: the full-map tap coordinate
+            # (u*S - 0.5) shifted by the integer crop origin — exact in
+            # fp (integer subtraction of representable floats), so the
+            # same texels are tapped; edge clamps land on the
+            # proved-1.0 ring (see docstring)
+            suv = jnp.stack([sp[0] * 0.5 + 0.5, sp[1] * 0.5 + 0.5])
+            xy = jnp.stack([suv[0] * S - 0.5 - x0,
+                            suv[1] * S - 0.5 - y0])
+            sdepth = sampling.sample_screen(sub, xy, texel_coords=True)
         else:
             suv = jnp.stack([sp[0] * 0.5 + 0.5, sp[1] * 0.5 + 0.5])
             sdepth = sampling.sample_screen(shadow_map, suv)

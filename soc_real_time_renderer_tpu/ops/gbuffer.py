@@ -160,7 +160,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     prev_view_proj, *, atlas_size: int, layer_stride: int,
                     n_levels: int, filter_mode: str = "bilinear",
                     atlas_page=None, num_materials: int = 0,
-                    tex_dirty_cap: int = 192,
+                    tex_dirty_cap: int = 768,
                     interpret: bool = False,
                     shard=None, stub_records: bool = False
                     ) -> tuple[GBuffer, jax.Array, jax.Array]:

@@ -343,7 +343,13 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
     pass only ever consumes depth (``sun_shadow_draw.inl:116-133``
     writes D32 only), so the tri_id plane and its per-chunk min-select
     are pure waste there — measured as part of the config-6 paid-shadow
-    fix (VERDICT r3 item 3)."""
+    fix (VERDICT r3 item 3).
+
+    Loop nest: chunks OUTER, pixel sub-blocks INNER (the full kernel
+    keeps subs outer for its per-sub z early-out) — each record chunk
+    is DMA'd ONCE per bin instead of once per sub-block, and the next
+    chunk's DMA is double-buffered behind the current eval.  The
+    whole-bin (P, 1) depth carry rides the while_loop."""
     bw, bh, G, K = grid.bw, grid.bh, grid.group, grid.chunk
     BX = grid.bx
     P = bw * bh
@@ -366,26 +372,47 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
         col0 = (start // K) * K
         ox = ((gx * G + bl) * bw).astype(jnp.float32)
         oy = (gy * bh).astype(jnp.float32)
+        # empty bins run ZERO chunks: the naive ceil-div is 1 when
+        # start == end but start % K != 0, and a sparse view (4096²
+        # shadow map, sky bins of the main view) would pay a wasted
+        # DMA + full eval for it — measured as the dominant
+        # shadow-view cost (bench_shadow, round 4)
+        nch = jnp.where(end > start, (end - col0 + K - 1) // K, 0)
 
-        for sub in range(NSUB):
-            px = lx + ox + 0.5
-            py = ly_base + (sub * rows_per_sub) + oy + 0.5
+        def col_of(ci):
+            return pl.multiple_of(
+                jnp.minimum(col0 + ci * K, grid.pair_cap - K), K)
 
-            def chunk_cond(carry):
-                ci, zb = carry
-                return ci < nch
+        def dma_of(ci, slot):
+            return pltpu.make_async_copy(
+                recs_ref.at[:, pl.ds(col_of(ci), K)],
+                scratch.at[slot], sem.at[slot])
 
-            def chunk_body(carry):
-                ci, zb = carry
-                col = jnp.minimum(col0 + ci * K, grid.pair_cap - K)
-                col = pl.multiple_of(col, K)
-                dma = pltpu.make_async_copy(
-                    recs_ref.at[:, pl.ds(col, K)], scratch, sem)
-                dma.start()
-                dma.wait()
-                rec = scratch[:]
-                gcol = lane + col
-                ok = (gcol >= start) & (gcol < end)
+        @pl.when(nch > 0)
+        def _():
+            dma_of(jnp.int32(0), jnp.int32(0)).start()
+
+        def chunk_cond(carry):
+            ci, zb = carry
+            return ci < nch
+
+        def chunk_body(carry):
+            ci, zb = carry
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < nch)
+            def _():
+                dma_of(ci + 1, 1 - slot).start()
+
+            dma_of(ci, slot).wait()
+            rec = scratch[slot]
+            gcol = lane + col_of(ci)
+            ok = (gcol >= start) & (gcol < end)
+
+            zs = []
+            for sub in range(NSUB):
+                px = lx + ox + 0.5
+                py = ly_base + (sub * rows_per_sub) + oy + 0.5
                 e0 = rec[0:1] * px + rec[1:2] * py + rec[2:3]
                 e1 = rec[3:4] * px + rec[4:5] * py + rec[5:6]
                 e2 = rec[6:7] * px + rec[7:8] * py + rec[8:9]
@@ -395,23 +422,16 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                 cov &= ew > 0
                 z = ez / jnp.where(ew != 0, ew, 1.0)
                 cov &= (z >= 0.0) & (z <= 1.0)
-                zc = jnp.min(jnp.where(cov, z, jnp.inf), axis=1,
-                             keepdims=True)
-                return ci + 1, jnp.minimum(zb, zc)
+                zs.append(jnp.min(jnp.where(cov, z, jnp.inf), axis=1,
+                                  keepdims=True))
+            zc = jnp.concatenate(zs, axis=0)              # (P, 1)
+            return ci + 1, jnp.minimum(zb, zc)
 
-            z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)
-            # empty bins must run ZERO chunks: the naive ceil-div is 1
-            # when start == end but start % K != 0, and a sparse view
-            # (4096² shadow map, sky bins of the main view) pays a
-            # wasted DMA + full (PSUB, K) eval per sub-block for it —
-            # measured as the dominant shadow-view cost (bench_shadow)
-            nch = jnp.where(end > start, (end - col0 + K - 1) // K, 0)
-            _, zb = jax.lax.while_loop(chunk_cond, chunk_body,
-                                       (jnp.int32(0), z0))
-            zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
-            r0 = sub * rows_per_sub
-            depth_ref[r0:r0 + rows_per_sub, bl * bw:(bl + 1) * bw] = (
-                zb.reshape(rows_per_sub, bw))
+        z0 = jnp.full((P, 1), jnp.inf, jnp.float32)
+        _, zb = jax.lax.while_loop(chunk_cond, chunk_body,
+                                   (jnp.int32(0), z0))
+        zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
+        depth_ref[:, bl * bw:(bl + 1) * bw] = zb.reshape(bh, bw)
 
 
 def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
@@ -553,8 +573,9 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
             grid=(BY, BX // G),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[ospec()],
-            scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
-                            pltpu.SemaphoreType.DMA],
+            # double-buffered chunk scratch (chunk-outer loop nest)
+            scratch_shapes=[pltpu.VMEM((2, 16, grid.chunk), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))],
         )
         depth, = pl.pallas_call(
             functools.partial(_resolve_depth_kernel, grid),

@@ -45,10 +45,16 @@ def shift(img, dx: int, dy: int):
     return p[slices]
 
 
-def sample_screen(img, uv, method: str = "linear"):
+def sample_screen(img, uv, method: str = "linear",
+                  texel_coords: bool = False):
     """Sample planar image at planar uv with clamp-to-edge.
 
     img: (C, H, W) or (H, W); uv: (2, ...).  Returns (C, ...) / (...).
+
+    texel_coords: uv is already (x, y) TEXEL coordinates (the value
+    u*W - 0.5 would produce) — used by crop-slice sampling where the
+    caller shifts full-image texel coords by an integer crop origin
+    (exact in fp; a divide-by-crop-size round trip is not).
     """
     squeeze = img.ndim == 2
     if squeeze:
@@ -57,8 +63,11 @@ def sample_screen(img, uv, method: str = "linear"):
     # single-axis flat gathers ONLY: multi-index-array advanced indexing
     # (img[:, yi, xi]) hangs the TPU compiler at scale (PERF.md)
     flat = img.reshape(C, H * W)
-    x = uv[0] * W - 0.5
-    y = uv[1] * H - 0.5
+    if texel_coords:
+        x, y = uv[0], uv[1]
+    else:
+        x = uv[0] * W - 0.5
+        y = uv[1] * H - 0.5
     if method == "nearest":
         xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)

@@ -67,11 +67,14 @@ TH = 16          # tile height (px)
 TW = 16          # tile width (px)
 P = TH * TW      # pixels per tile
 K_TOP = 6        # (material, level) pairs considered per tile
-NBLK = 6         # window slots per tile: sized from measured slot
-#                  distributions (tools/study_texplanner.py, sponza
-#                  736p: p99 slots = 6; NBLK 8 -> 6 adds ONE dirty tile
-#                  of 3680 while cutting the U-matmul contraction dim
-#                  and per-tile window DMA by 25%)
+NBLK = 6         # window slots per tile: sized from CHIP-captured slot
+#                  distributions (tools/study_texplanner.py on
+#                  tools/capture_texfields.py output — sponza 736p:
+#                  NBLK 8 -> 6 moves dirty 440 -> 539 of 3680 tiles
+#                  (~+0.4 ms fallback) while cutting the U-matmul
+#                  contraction dim and per-tile window DMA by 25%
+#                  (~-1.3 ms); CPU-captured fields under-count dirty
+#                  ~20x, always study chip captures)
 WIN_R = 48       # window rows (32 bbox + 16 row-align slack)
 WIN_C = 64       # window cols in texels (32 bbox + 32 col-align slack)
 CH = 12          # bf16 lanes per texel in the page (11 channels + pad)
@@ -623,7 +626,7 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
                        atlas_fallback, *, size: int, n_levels: int,
                        num_materials: int, layer_stride: int,
                        filter_mode: str = "bilinear",
-                       dirty_cap: int = 192,
+                       dirty_cap: int = 768,
                        interpret: bool = False, H: int = 0, W: int = 0):
     """Tiled sampling of the 11 material channels.
 

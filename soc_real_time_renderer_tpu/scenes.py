@@ -126,13 +126,14 @@ class BuiltScene:
             if getattr(self, "_proof_pos", None) is None:
                 self._proof_pos = np.asarray(self.batch.tri_pos)
                 self._proof_ent = np.asarray(self.batch.tri_entity)
-            empty, proved = _prove_shadow(self.batch, mm,
-                                          pos=self._proof_pos,
-                                          ent=self._proof_ent,
-                                          sun=self.sun)
+            empty, proved, crop = _prove_shadow(
+                self.batch, mm, pos=self._proof_pos,
+                ent=self._proof_ent, sun=self.sun,
+                shadow_resolution=cfg2.shadow_resolution)
             self.plan = _dc.replace(old, config=cfg2,
                                     shadow_statically_empty=empty,
-                                    proved_sun_pv=proved)
+                                    proved_sun_pv=proved,
+                                    shadow_crop=crop)
         else:
             nb = _finish(self.scene, models, old.config,
                          camera_pos=self.camera_position,
@@ -237,30 +238,64 @@ class BuiltScene:
         return g, mm, nm
 
 
-def _prove_shadow(batch, model_mats, pos=None, ent=None, sun=None):
-    """(statically_empty, proved_sun_pv-or-None) for the GIVEN
-    transforms and sun (None = the build-time default).  proved_sun_pv
-    records WHICH sun the proof holds for; make_render_fn rejects
-    frames whose g.sun differs (ADVICE round 2, scenes.py item).
+def _prove_shadow(batch, model_mats, pos=None, ent=None, sun=None,
+                  shadow_resolution: int | None = None):
+    """(statically_empty, proved_sun_pv-or-None, shadow_crop-or-None)
+    for the GIVEN transforms and sun (None = the build-time default).
+    proved_sun_pv records WHICH sun the proof holds for; make_render_fn
+    rejects frames whose g.sun differs (ADVICE round 2).
+
+    shadow_crop (only when NOT empty and shadow_resolution given): the
+    static texel window (x0, y0, w, h) that provably contains every
+    non-1.0 shadow-map texel — the xy sun-NDC bbox of all vertices
+    (rasterized footprints are inside their triangles' vertex bboxes)
+    plus margin, 128-aligned.  composition samples the ESM factor from
+    this crop instead of the full map: every texel outside it is
+    exactly the 1.0 clear, so the (usually huge, latency-plateau) 4096²
+    gather table shrinks to the geometry's actual footprint with
+    bit-identical output (VERDICT r3 item 3 — the ESM gather is ~20 ms
+    of config 6's shadow cost).
+
     pos/ent: optional pre-pulled host copies of batch.tri_pos /
     batch.tri_entity (BuiltScene.rebuild's cheap path caches them to
     avoid a per-edit device readback)."""
     sun = sun if sun is not None else cfg_mod.SunInfo.create()
     sun_pv = np.asarray(sun.projection_view, np.float32)
-    empty = bool(_shadow_statically_empty(batch, np.asarray(model_mats),
-                                          pos=pos, ent=ent, sun_pv=sun_pv))
+    empty, ndc = _shadow_statically_empty(batch, np.asarray(model_mats),
+                                          pos=pos, ent=ent, sun_pv=sun_pv)
+    empty = bool(empty)
     proved = None
+    crop = None
     if empty:
         proved = tuple(float(v) for v in sun_pv.ravel())
-    return empty, proved
+    elif ndc is not None and shadow_resolution:
+        x, y = ndc
+        S = int(shadow_resolution)
+        u0 = float(np.min(x)) * 0.5 + 0.5
+        u1 = float(np.max(x)) * 0.5 + 0.5
+        v0 = float(np.min(y)) * 0.5 + 0.5
+        v1 = float(np.max(y)) * 0.5 + 0.5
+        # 4-texel margin (raster rounding + bilinear footprint), then
+        # 128-align so the crop slice keeps a lane-friendly layout
+        x0 = max(0, (int(np.floor(u0 * S)) - 4) // 128 * 128)
+        y0 = max(0, (int(np.floor(v0 * S)) - 4) // 128 * 128)
+        x1 = min(S, -(-(int(np.ceil(u1 * S)) + 4) // 128) * 128)
+        y1 = min(S, -(-(int(np.ceil(v1 * S)) + 4) // 128) * 128)
+        if x1 > x0 and y1 > y0 and (x1 - x0) * (y1 - y0) < 0.7 * S * S:
+            crop = (x0, y0, x1 - x0, y1 - y0)
+    return empty, proved, crop
 
 
 def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
                              pos=None, ent=None, sun_pv=None):
-    """True iff all world-space vertices are strictly outside the sun
+    """(all_excluded, (x, y) sun-NDC vertex coords or None).
+
+    all_excluded is True iff every triangle is provably outside the sun
     clip volume on one common side (z or x or y), for the GIVEN sun
     matrices (None = config.SunInfo.create defaults = renderer.cpp:
-    108-133).  Conservative: any vertex in/straddling -> False."""
+    108-133).  Conservative: any vertex in/straddling -> False.  The
+    (x, y) NDC arrays feed _prove_shadow's crop bbox; None when any
+    w <= eps (non-ortho corner case — no proof, no crop)."""
     from .config import SunInfo
     if pos is None:
         pos = np.asarray(batch.tri_pos)             # (3 verts, 3 xyz, T)
@@ -269,7 +304,6 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
     M = model_mats[ent]                             # (T, 4, 4)
     pv = (np.asarray(SunInfo.create().projection_view)
           if sun_pv is None else np.asarray(sun_pv))
-    sides = []  # per-side "all outside" flags over every vertex
     zs, xs, ys = [], [], []
     for v in range(3):
         p = pos[v]                                  # (3, T)
@@ -281,7 +315,7 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
         cz = pv[2, 0] * wx + pv[2, 1] * wy + pv[2, 2] * wz + pv[2, 3]
         cw = pv[3, 0] * wx + pv[3, 1] * wy + pv[3, 2] * wz + pv[3, 3]
         if not np.all(cw > 1e-6):
-            return False
+            return False, None
         zs.append(cz / cw)
         xs.append(cx / cw)
         ys.append(cy / cw)
@@ -297,7 +331,7 @@ def _shadow_statically_empty(batch, model_mats, margin: float = 1e-4,
     excluded = ((z > 1.0 + m).all(0) | (z < 0.0 - m).all(0)
                 | (x > 1.0 + m).all(0) | (x < -1.0 - m).all(0)
                 | (y > 1.0 + m).all(0) | (y < -1.0 - m).all(0))
-    return bool(np.all(excluded))
+    return bool(np.all(excluded)), (x, y)
 
 
 def _cap_grid(grid, T: int):
@@ -343,9 +377,11 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     # side, no fragment can survive the shadow raster's clip, so the
     # map provably stays at its 1.0 clear and the pass is elided.
     mm_np, _ = scene.transform_matrices()
-    empty, proved = _prove_shadow(batch, np.asarray(mm_np), sun=sun)
+    empty, proved, crop = _prove_shadow(
+        batch, np.asarray(mm_np), sun=sun,
+        shadow_resolution=config.shadow_resolution)
     plan = _dc.replace(plan, shadow_statically_empty=empty,
-                       proved_sun_pv=proved)
+                       proved_sun_pv=proved, shadow_crop=crop)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
     # staging-upload analog; per-frame re-upload of the packed atlas
     # costs seconds)

@@ -56,12 +56,12 @@ def test_in_volume_geometry_defeats_the_proof():
     # identity transform: quad at z=-1 near the origin -> z_sun ~ 1.78,
     # outside [0,1] -> empty
     eye = np.eye(4, dtype=np.float32)[None]
-    assert scenes._shadow_statically_empty(batch, eye)
+    assert scenes._shadow_statically_empty(batch, eye)[0]
     # lift it into the sun volume (y ~ 40 - 8 = 32, inside the +-16
     # z planes around the y=40 sun) -> proof must fail
     lifted = eye.copy()
     lifted[0, 1, 3] = 32.0
-    assert not scenes._shadow_statically_empty(batch, lifted)
+    assert not scenes._shadow_statically_empty(batch, lifted)[0]
 
 
 def test_non_default_sun_rejected_when_elided():
@@ -134,3 +134,27 @@ def test_empty_map_composition_matches_all_ones_map():
                          max_spot_lights=0, empty_shadow_map=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, err_msg=f"vol={vol}")
+
+
+def test_shadow_crop_bit_identical():
+    """The static ESM sampling crop (FramePlan.shadow_crop) must be
+    provably lossless: the paid-shadow scene renders bit-identically
+    with the crop on and off."""
+    cfg = RenderConfig(width=128, height=128, shadow_resolution=512,
+                       enable_ssao=False, enable_bloom=False,
+                       enable_clouds=False, enable_taa=False,
+                       enable_auto_exposure=False, enable_hiz=False)
+    built = scenes.build("helmet_lifted", cfg)
+    plan = built.plan
+    assert not plan.shadow_statically_empty
+    assert plan.shadow_crop is not None, "lifted helmet must get a crop"
+    x0, y0, w, h = plan.shadow_crop
+    assert w * h < 512 * 512          # crop genuinely smaller
+    g, mm, nm = built.frame_globals(1)
+    out_c, _ = fm.render_frame(plan, built.batch, g,
+                               fm.RenderHistory.create(cfg), mm, nm)
+    plan_full = dataclasses.replace(plan, shadow_crop=None)
+    out_f, _ = fm.render_frame(plan_full, built.batch, g,
+                               fm.RenderHistory.create(cfg), mm, nm)
+    np.testing.assert_array_equal(np.asarray(out_c.color),
+                                  np.asarray(out_f.color))

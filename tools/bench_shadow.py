@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--scene", default="helmet_lifted")
     ap.add_argument("--res", type=int, default=4096)
+    ap.add_argument("--view", default="shadow", choices=("shadow", "main"),
+                    help="'main' A/Bs the MAIN-view grid at --width/"
+                         "--height with front culling + full kernel")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1088)
     args = ap.parse_args()
 
     import jax
@@ -42,7 +47,8 @@ def main():
     from soc_real_time_renderer_tpu.ops import raster2
 
     R = args.res
-    cfg = RenderConfig(width=1280, height=736, shadow_resolution=R,
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       shadow_resolution=R,
                        enable_bloom=False, enable_clouds=False,
                        enable_taa=False, enable_auto_exposure=False,
                        enable_hiz=False)
@@ -50,30 +56,45 @@ def main():
     g, mm, nm = built.frame_globals(1)
     world, _ = fm.transform_triangles(built.batch, jnp.asarray(mm),
                                       jnp.asarray(nm))
-    sclip = jnp.asarray(fm._clip_of(world, g.sun.projection_view))
+    if args.view == "shadow":
+        sclip = jnp.asarray(fm._clip_of(world, g.sun.projection_view))
+        W, H = R, R
+        cull = "back"
+        kinds = (False, True)
+    else:
+        sclip = jnp.asarray(fm._clip_of(world, g.camera.projection_view))
+        W, H = args.width, args.height
+        cull = "front"
+        kinds = (False,)     # the main view needs tri_id
     print(f"scene {args.scene}: {built.batch.num_triangles} tris, "
-          f"shadow {R}^2", flush=True)
+          f"{args.view} view {W}x{H}", flush=True)
 
     GRIDS = {
-        "bin128 g1 (r3 default)": raster2.BinGrid(
-            width=R, height=R, bin_size=128, group=1),
-        "bin64 g2": raster2.BinGrid(width=R, height=R, bin_size=64,
-                                    group=2),
-        "bin32 g4": raster2.BinGrid(width=R, height=R, bin_size=32,
+        "bin128 g1": raster2.BinGrid(width=W, height=H, bin_size=128,
+                                     group=1),
+        "bin64 g2 (main default)": raster2.BinGrid(
+            width=W, height=H, bin_size=64, group=2),
+        "bin32 g4": raster2.BinGrid(width=W, height=H, bin_size=32,
                                     group=4),
-        "bin32 g4 ns8": raster2.BinGrid(width=R, height=R, bin_size=32,
-                                        group=4, n_small=8),
+        "bin 64x16 g2": raster2.BinGrid(width=W, height=H, bin_w=64,
+                                        bin_h=16, group=2),
+        "bin 64x32 g2": raster2.BinGrid(width=W, height=H, bin_w=64,
+                                        bin_h=32, group=2),
     }
+    if args.view == "shadow":
+        GRIDS["bin128 g1 (shadow default)"] = GRIDS.pop("bin128 g1")
 
     for gname, grid in GRIDS.items():
-        for depth_only in (False, True):
-            def run(clip0, grid=grid, depth_only=depth_only):
+        for depth_only in kinds:
+            def run(clip0, grid=grid, depth_only=depth_only, cull=cull):
                 def step(c, _):
                     clip = clip0 * (1.0 + c * 1e-30)
                     vis, _ = raster2.rasterize(
-                        clip, grid, "back", False, None, False,
+                        clip, grid, cull, False, None, False,
                         depth_only)
                     probe = vis.depth[::64, ::64].sum()
+                    if vis.tri_id is not None:
+                        probe = probe + vis.tri_id[::64, ::64].sum()
                     return c + probe * 1e-30, (probe, vis.overflow)
                 return jax.lax.scan(step, jnp.float32(0), None,
                                     length=args.frames)

@@ -68,7 +68,28 @@ def main():
         wl = int(os.environ.get("WL", "384"))
         t_p = timed(lambda dd, nn: ssao.ssao_generate_pallas(
             dd, nn, g, window_rows=wr, window_lanes=wl), depth, normal)
-        print(f"pallas(WR={wr},WL={wl}) {t_p:8.2f} ms   ({t_x / t_p:.1f}x)")
+        # window-clamp error vs the exact XLA tail (smaller windows
+        # clamp more far taps — a time win must come with this number)
+        a = ssao.ssao_generate_pallas(depth, normal, g,
+                                      window_rows=wr, window_lanes=wl)
+        b = ssao.ssao_generate(depth, normal, g)
+        err = float(jnp.abs(a - b).mean())
+        print(f"pallas(WR={wr},WL={wl}) {t_p:8.2f} ms   ({t_x / t_p:.1f}x)"
+              f"  mean err vs xla {err:.5f}")
+    if "sweep" in which:
+        for wr, wl in ((64, 384), (64, 256), (48, 256), (32, 256),
+                       (48, 384)):
+            t_p = timed(lambda dd, nn, wr=wr, wl=wl:
+                        ssao.ssao_generate_pallas(
+                            dd, nn, g, window_rows=wr, window_lanes=wl),
+                        depth, normal)
+            a = ssao.ssao_generate_pallas(depth, normal, g,
+                                          window_rows=wr,
+                                          window_lanes=wl)
+            b = ssao.ssao_generate(depth, normal, g)
+            err = float(jnp.abs(a - b).mean())
+            print(f"pallas(WR={wr},WL={wl}) {t_p:8.2f} ms   "
+                  f"mean err vs xla {err:.5f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,35 @@ def sample_screen(img, uv, method: str = "linear",
     return out
 
 
+def sample_screen_separable(img, u, v):
+    """Bilinear clamp-to-edge sample at the OUTER PRODUCT of 1-D u
+    (length W') and 1-D v (length H') — for separable sampling grids
+    (axis-aligned resamples) this is 4 small 1-D gathers instead of a
+    per-pixel flat gather (~6.3 ns/index, PERF.md).
+
+    BIT-IDENTICAL to ``sample_screen(img, meshgrid(u, v))``: the x-axis
+    lerp runs first with the same clamped-fraction math, then the
+    y-axis lerp — the same operation order and rounding as
+    sample_screen's top/bot blend.  img: (C, H, W) or (H, W).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    C, H, W = img.shape
+    x = u * W - 0.5
+    y = v * H - 0.5
+    x0i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    fx = jnp.clip(x - x0i, 0.0, 1.0)[None, None, :]
+    fy = jnp.clip(y - y0i, 0.0, 1.0)[None, :, None]
+    # x lerp first (matches sample_screen's top/bot order), then y
+    ax = img[:, :, x0i] * (1 - fx) + img[:, :, x1i] * fx   # (C, H, W')
+    out = ax[:, y0i] * (1 - fy) + ax[:, y1i] * fy          # (C, H', W')
+    return out[0] if squeeze else out
+
+
 def resize_half(img):
     """(C, H, W) -> (C, H/2, W/2) by 2x2 mean (gather-free)."""
     squeeze = img.ndim == 2

@@ -376,3 +376,20 @@ def test_bloom_odd_mip_dimensions():
     c = np.asarray(bloom.bloom_depthwise(img, mip_count=4))
     np.testing.assert_allclose(a, b, atol=2e-4)
     np.testing.assert_allclose(a, c, atol=2e-4)
+
+
+def test_sample_screen_separable_bitexact():
+    """sample_screen_separable must reproduce sample_screen bit-exactly
+    on outer-product grids (it replaces the flat gather in the clouds
+    sky-mask resample)."""
+    import numpy as np
+    from soc_real_time_renderer_tpu.ops import sampling
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((3, 37, 53), dtype=np.float32))
+    u = jnp.asarray(rng.random(29, dtype=np.float32) * 1.3 - 0.1)
+    v = jnp.asarray(rng.random(17, dtype=np.float32) * 1.3 - 0.1)
+    uu = jnp.broadcast_to(u[None, :], (17, 29))
+    vv = jnp.broadcast_to(v[:, None], (17, 29))
+    a = sampling.sample_screen(img, jnp.stack([uu, vv]))
+    b = sampling.sample_screen_separable(img, u, v)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -300,6 +300,14 @@ class RenderConfig:
     # cloud_rendering.inl:219-233); "procedural" = XLA LUT with hash
     # value noise (gather-free fallback; shapes differ statistically).
     cloud_noise_mode: str = "texture"
+    # Cloud algorithm: "lut" (default) marches the 256x128 directional
+    # sky LUT once per frame and looks it up per pixel (measured error
+    # vs the exact march: mean <= 0.31%, worst <= 4.1% — PARITY.md);
+    # "perpixel" runs the reference's per-pixel 24x10 march
+    # (cloud_rendering.inl:461, 92-113) at half res — the exact
+    # algorithm, ~2112 noise taps per pixel, for parity verification
+    # and offline renders (orders of magnitude slower on TPU).
+    cloud_impl: str = "lut"
     # Reference QUADRANT quirk (kept by default): the half-res cloud
     # pass divides its pixel coordinate by the FULL window resolution
     # (cloud_rendering.inl:443-445 with renderer.cpp:829-831's

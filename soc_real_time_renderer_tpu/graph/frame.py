@@ -480,7 +480,20 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                 "procedural sky LUT: batch.cloud_noise is missing; "
                 "cloud shapes will differ from the reference noise "
                 "texture.", stacklevel=2)
-        if (cfg.cloud_noise_mode == "texture"
+        lut = None
+        if (cfg.cloud_impl == "perpixel"
+                and batch.cloud_noise is not None):
+            # the reference's exact per-pixel march (T12,
+            # cloud_rendering.inl:461, 92-113) — parity/offline mode;
+            # the LUT default's deviation from this is quantified in
+            # PARITY.md (mean <= 0.31%)
+            clouds_half = clouds_ops.render_clouds(
+                g, vis.depth, batch.cloud_noise, hw, hh,
+                full_width=None if cfg.cloud_fullscreen_rays
+                else cfg.width,
+                full_height=None if cfg.cloud_fullscreen_rays
+                else cfg.height)
+        elif (cfg.cloud_noise_mode == "texture"
                 and batch.cloud_noise is not None and not interp):
             # real-noise Pallas kernel; TPU-only — the interpreted
             # march is ~284 GFLOP/LUT, so CPU runs take the XLA LUT
@@ -500,13 +513,16 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                                             noise_tex=batch.cloud_noise)
         else:
             lut = clouds_ops.render_sky_lut(g)
-        # QUADRANT quirk (config.cloud_fullscreen_rays docstring): pass
-        # the FULL resolution so the half-res rays/sky-mask span only
-        # the top-left frustum quadrant like the reference
-        clouds_half = clouds_ops.sky_from_lut(
-            g, lut, vis.depth, hw, hh,
-            full_width=None if cfg.cloud_fullscreen_rays else cfg.width,
-            full_height=None if cfg.cloud_fullscreen_rays else cfg.height)
+        if lut is not None:
+            # QUADRANT quirk (config.cloud_fullscreen_rays docstring):
+            # pass the FULL resolution so the half-res rays/sky-mask
+            # span only the top-left frustum quadrant like the reference
+            clouds_half = clouds_ops.sky_from_lut(
+                g, lut, vis.depth, hw, hh,
+                full_width=None if cfg.cloud_fullscreen_rays
+                else cfg.width,
+                full_height=None if cfg.cloud_fullscreen_rays
+                else cfg.height)
         clouds_full = sampling.upsample_bilinear(clouds_half, cfg.height,
                                                  cfg.width)
 

@@ -213,7 +213,13 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
         has_n, has_mr, has_e, is_ter = one, one, zero, zero
         lod = pxn * 3.0
     else:
-        rhl = shading_records[:, t]                   # (80, P) bf16 hi/lo
+        # barrier: the gather result feeds MANY consumer chains (the
+        # interp math in flat order AND the tile planner's tileized
+        # fields) — without it XLA's consumer fusion can duplicate the
+        # (80, P) gather per consumer (the round-1 recompute pathology,
+        # PERF.md)
+        rhl = jax.lax.optimization_barrier(
+            shading_records[:, t])                    # (80, P) bf16 hi/lo
         rec = rhl[:40].astype(jnp.float32) + rhl[40:].astype(jnp.float32)
 
         # edge values + derivatives (de/dx = adj col 0, de/dy = col 1)
@@ -264,6 +270,12 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                              du_dy ** 2 + dv_dy ** 2) * (atlas_size ** 2)
         lod = 0.5 * jnp.log2(jnp.maximum(lod_sq, 1e-12))
 
+    # barrier: mid/uv/lod are consumed by the texture tap in TILEIZED
+    # order and (uv, lod-derivation inputs) by nothing else — but their
+    # producing interp chains hang off the record gather; materialize
+    # them once so the tileize transposes can't drag the chains in
+    # twice (same recompute hazard as rhl above)
+    mid, uv, lod = jax.lax.optimization_barrier((mid, uv, lod))
     tex_overflow = jnp.int32(0)
     tex_dirty = jnp.int32(-1)        # -1 = XLA path (no tile planner)
     sharded = shard is not None and shard[0] is not None

@@ -41,6 +41,7 @@ def _setup(width=256, height=128, **cfg_kw):
     {"enable_shadows": False, "enable_bloom": False, "enable_taa": False,
      "enable_ssao": False, "enable_clouds": False,
      "enable_auto_exposure": False},
+    {"cloud_impl": "perpixel"},     # reference per-pixel march wiring
 ])
 def test_render_frame_shapes(cfg_kw):
     plan, batch, g, hist, mm = _setup(**cfg_kw)

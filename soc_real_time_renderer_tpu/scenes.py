@@ -341,8 +341,17 @@ def _cap_grid(grid, T: int):
     bins ~ >128px) is rare (tens of triangles at Sponza scale); pairs
     average well under 2 bins/triangle."""
     import dataclasses as _dc
-    med_cap = max(4096, min(T // 16, 8192))
-    want = min(4 * T + med_cap * grid.med_slots, max(2 * T, 262144))
+    # med_cap x med_slots rides the sort as dead keys whether medium
+    # triangles exist or not: measured medium counts are 55 (sponza) /
+    # 249 (full) at the bench cameras (round-4 CPU sweep) — 4096 keeps
+    # >16x margin for close-up views; OVERFLOW_MED_CAP surfaces misses.
+    med_cap = max(2048, min(T // 32, 4096))
+    # pair_cap sizes the sorted-record GATHER (a fixed cap-index cost
+    # per frame whether pairs exist or not): measured pair counts are
+    # ~0.55*T across the animated cameras (sponza 99k of T=168k, full
+    # 185k of T=345k — round-4 CPU sweep), so cap T is ~1.8x margin;
+    # OVERFLOW_PAIRS surfaces any scene/view that exceeds it.
+    want = min(4 * T + med_cap * grid.med_slots, max(T, 131072))
     want = -(-want // grid.chunk) * grid.chunk
     return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
 

@@ -239,7 +239,14 @@ def render_loop(state: ViewerState, frames_in_flight: int = 2):
         state.metrics = {"frame_ms": round(frame_ms, 2),
                          "latency_ms": round(latency_ms, 2),
                          "fps": round(1000.0 / max(frame_ms, 1e-3), 1),
-                         "frame": state.frame_index}
+                         "frame": state.frame_index,
+                         # loud cap telemetry (raster2.OVERFLOW_* bits
+                         # + tile-sampler dirty count; -1 = XLA tex
+                         # path) — a nonzero overflow means a static
+                         # cap dropped fragments/tiles this frame
+                         "overflow": int(getattr(outs, "overflow", 0)),
+                         "tex_dirty": int(getattr(outs, "tex_dirty",
+                                                  -1))}
 
 
 def _rebake_terrain(built, params):

@@ -88,9 +88,15 @@ def main():
     ov = int(outputs.overflow)
     if ov:
         bits = [name for bit, name in [(1, "PAIRS"), (2, "MED_CAP"),
-                                       (4, "MED_SLOTS")] if ov & bit]
-        print(f"WARNING: raster bin caps overflowed ({'|'.join(bits)}) — "
-              f"fragments were dropped; raise BinGrid caps (scenes.py)")
+                                       (4, "MED_SLOTS"),
+                                       (8, "TEX_DIRTY")] if ov & bit]
+        print(f"WARNING: static caps overflowed ({'|'.join(bits)}) — "
+              f"fragments/texture tiles were dropped; raise BinGrid "
+              f"caps or FramePlan.tex_dirty_cap (scenes.py)")
+    nd = int(outputs.tex_dirty)
+    if nd >= 0:
+        print(f"texture tile sampler: {nd} dirty tiles "
+              f"(cap {built.plan.tex_dirty_cap})")
 
     if args.dump_passes:
         base = os.path.splitext(args.out)[0]

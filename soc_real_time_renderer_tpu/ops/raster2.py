@@ -393,11 +393,14 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
             dma_of(jnp.int32(0), jnp.int32(0)).start()
 
         def chunk_cond(carry):
-            ci, zb = carry
+            ci, zb2 = carry
             return ci < nch
 
         def chunk_body(carry):
-            ci, zb = carry
+            # the bin depth carry is the LANE-PACKED (bh, bw) block —
+            # a (P, 1) carry pads its lane dim to 128 in VMEM (8 MB at
+            # bin128) and blew the scoped-vmem limit on chip
+            ci, zb2 = carry
             slot = jax.lax.rem(ci, 2)
 
             @pl.when(ci + 1 < nch)
@@ -409,7 +412,6 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
             gcol = lane + col_of(ci)
             ok = (gcol >= start) & (gcol < end)
 
-            zs = []
             for sub in range(NSUB):
                 px = lx + ox + 0.5
                 py = ly_base + (sub * rows_per_sub) + oy + 0.5
@@ -422,16 +424,19 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                 cov &= ew > 0
                 z = ez / jnp.where(ew != 0, ew, 1.0)
                 cov &= (z >= 0.0) & (z <= 1.0)
-                zs.append(jnp.min(jnp.where(cov, z, jnp.inf), axis=1,
-                                  keepdims=True))
-            zc = jnp.concatenate(zs, axis=0)              # (P, 1)
-            return ci + 1, jnp.minimum(zb, zc)
+                zc = jnp.min(jnp.where(cov, z, jnp.inf), axis=1,
+                             keepdims=True)             # (PSUB, 1)
+                zc2 = zc.reshape(rows_per_sub, bw)
+                r0 = sub * rows_per_sub
+                zb2 = zb2.at[r0:r0 + rows_per_sub, :].set(
+                    jnp.minimum(zb2[r0:r0 + rows_per_sub, :], zc2))
+            return ci + 1, zb2
 
-        z0 = jnp.full((P, 1), jnp.inf, jnp.float32)
-        _, zb = jax.lax.while_loop(chunk_cond, chunk_body,
-                                   (jnp.int32(0), z0))
-        zb = jnp.where(jnp.isfinite(zb), zb, 1.0)
-        depth_ref[:, bl * bw:(bl + 1) * bw] = zb.reshape(bh, bw)
+        z0 = jnp.full((bh, bw), jnp.inf, jnp.float32)
+        _, zb2 = jax.lax.while_loop(chunk_cond, chunk_body,
+                                    (jnp.int32(0), z0))
+        depth_ref[:, bl * bw:(bl + 1) * bw] = jnp.where(
+            jnp.isfinite(zb2), zb2, 1.0)
 
 
 def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,

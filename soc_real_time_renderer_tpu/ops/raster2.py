@@ -428,8 +428,11 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                              keepdims=True)             # (PSUB, 1)
                 zc2 = zc.reshape(rows_per_sub, bw)
                 r0 = sub * rows_per_sub
-                zb2 = zb2.at[r0:r0 + rows_per_sub, :].set(
-                    jnp.minimum(zb2[r0:r0 + rows_per_sub, :], zc2))
+                # explicit dynamic_update_slice: jnp's .at[] indexing
+                # emits zero-length index constants Pallas rejects
+                zb2 = jax.lax.dynamic_update_slice(
+                    zb2, jnp.minimum(zb2[r0:r0 + rows_per_sub, :], zc2),
+                    (jnp.int32(r0), jnp.int32(0)))
             return ci + 1, zb2
 
         z0 = jnp.full((bh, bw), jnp.inf, jnp.float32)

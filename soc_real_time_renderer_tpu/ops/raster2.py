@@ -412,6 +412,7 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
             gcol = lane + col_of(ci)
             ok = (gcol >= start) & (gcol < end)
 
+            blocks = []
             for sub in range(NSUB):
                 px = lx + ox + 0.5
                 py = ly_base + (sub * rows_per_sub) + oy + 0.5
@@ -426,14 +427,15 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                 cov &= (z >= 0.0) & (z <= 1.0)
                 zc = jnp.min(jnp.where(cov, z, jnp.inf), axis=1,
                              keepdims=True)             # (PSUB, 1)
-                zc2 = zc.reshape(rows_per_sub, bw)
-                r0 = sub * rows_per_sub
-                # explicit dynamic_update_slice: jnp's .at[] indexing
-                # emits zero-length index constants Pallas rejects
-                zb2 = jax.lax.dynamic_update_slice(
-                    zb2, jnp.minimum(zb2[r0:r0 + rows_per_sub, :], zc2),
-                    (jnp.int32(r0), jnp.int32(0)))
-            return ci + 1, zb2
+                # reshape to the lane-packed (rows, bw) block BEFORE
+                # accumulating: keeps the live set at NSUB tiny blocks
+                # instead of (PSUB, 1)-padded 8 MB temporaries, and the
+                # concat below replaces dynamic_update_slice (which
+                # Mosaic does not lower)
+                blocks.append(zc.reshape(rows_per_sub, bw))
+            zc_full = (blocks[0] if NSUB == 1
+                       else jnp.concatenate(blocks, axis=0))  # (bh, bw)
+            return ci + 1, jnp.minimum(zb2, zc_full)
 
         z0 = jnp.full((bh, bw), jnp.inf, jnp.float32)
         _, zb2 = jax.lax.while_loop(chunk_cond, chunk_body,

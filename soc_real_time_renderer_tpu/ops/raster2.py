@@ -237,10 +237,16 @@ def default_grid(width, height, scale="scene", kind="main"):
         return BinGrid(width=width, height=height, pair_cap=16384,
                        med_cap=512)
     if kind == "shadow":
+        # round-4 A/B (post empty-bin skip + chunk-outer depth kernel):
+        # bin128 g1 depth-only = 5.98 ms vs bin64 g2 6.19 on the 4096²
+        # helmet_lifted view (out/r4/shadowab2.log)
         return BinGrid(width=width, height=height, bin_size=128, group=1)
-    # group=2 measured fastest for the main view (wider out-blocks
-    # regressed ~6%)
-    return BinGrid(width=width, height=height)
+    # main view: SHORT-WIDE 64x32 bins (group 2 keeps the (32, 128)
+    # out-block) — round-4 A/B at config-5 scale: 19.65 ms vs 21.17 for
+    # 64x64, no overflow (64x16 was 19.16 but tripped OVERFLOW_MED_
+    # SLOTS; out/r4/mainab.log)
+    return BinGrid(width=width, height=height, bin_w=64, bin_h=32,
+                   group=2)
 
 
 # ---------------------------------------------------------------------------

@@ -391,6 +391,15 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
         shadow_resolution=config.shadow_resolution)
     plan = _dc.replace(plan, shadow_statically_empty=empty,
                        proved_sun_pv=proved, shadow_crop=crop)
+    # Size the dirty-tile fallback cap from the screen tile count.
+    # Chip-measured dirty rates (out/r4/bl123b.log, bl45b.log):
+    # sponza 1280x736 = 538..551 of 3680 tiles (15%), full 1920x1088 =
+    # 871..963 of 8160 (11.8%) — the old fixed 768 OVERFLOWED at
+    # 1080p, leaving ~200 tiles (~50k px) with the kernel's n_used=0
+    # garbage.  15% of NT + margin, 128-aligned, floor 768.
+    nt = (config.height // 16) * (config.width // 16)
+    cap = max(768, -(-int(0.15 * nt) // 128) * 128)
+    plan = _dc.replace(plan, tex_dirty_cap=cap)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
     # staging-upload analog; per-frame re-upload of the packed atlas
     # costs seconds)

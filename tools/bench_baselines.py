@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--only", type=int, default=0, help="run one config")
+    ap.add_argument("--only", default="",
+                    help="run a subset, comma-separated (e.g. 3,5,7)")
     ap.add_argument("--filter", default="",
                     help="override FramePlan.texture_filter "
                          "(bilinear/trilinear A/B, VERDICT r2 item 4)")
@@ -70,8 +71,9 @@ def main():
          "sponza", dict(width=1280, height=736, enable_ssr=True)),
     ]
 
+    only = {int(s) for s in args.only.split(",") if s.strip()}
     for num, desc, scene, kw in CONFIGS:
-        if args.only and num != args.only:
+        if only and num not in only:
             continue
         cfg = RenderConfig(**kw)
         built = scenes.build(scene, cfg)

@@ -135,6 +135,14 @@ class FramePlan:
     # small slice instead of the full (latency-plateau) 4096² table —
     # bit-identical output.  None = sample the full map.
     shadow_crop: tuple | None = None
+    # The flattened model matrices the crop was proved against (ADVICE
+    # r4): unlike proved_sun_pv, the crop depends on the GEOMETRY's
+    # world placement, so rendering with different model_mats under a
+    # stale crop would silently lose shadows from geometry that moved
+    # outside it.  make_render_fn / render_frame reject mismatches
+    # host-side (check_shadow_crop).  None = crop unguarded (only when
+    # shadow_crop is also None).
+    proved_crop_mats: tuple | None = None
     # Attribution stubs (tools/bench_toggle.py; VERDICT r3 item 1) —
     # NOT rendering modes.  "": off.  "resolve": fabricate the main
     # visibility buffer after binning (delta = main resolve kernel).
@@ -481,6 +489,16 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                 "cloud shapes will differ from the reference noise "
                 "texture.", stacklevel=2)
         lut = None
+        if cfg.cloud_impl == "perpixel" and batch.cloud_noise is None:
+            # a parity/benchmark run asking for the exact per-pixel
+            # march must not silently measure the LUT algorithm instead
+            # (ADVICE r4), mirroring the procedural-LUT warning above
+            import warnings
+            warnings.warn(
+                "cloud_impl='perpixel' falling back to the sky-LUT "
+                "path: batch.cloud_noise is missing — the exact "
+                "per-pixel march needs the noise texture.",
+                stacklevel=2)
         if (cfg.cloud_impl == "perpixel"
                 and batch.cloud_noise is not None):
             # the reference's exact per-pixel march (T12,
@@ -611,6 +629,7 @@ def render_frame(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
                  model_mats, normal_mats) -> tuple[FrameOutputs, RenderHistory]:
     """One frame. All array args are traced; `plan` is static."""
     check_sun_proof(plan, g)
+    check_shadow_crop(plan, model_mats)
     vis, records, shadow_map, overflow = raster_stage(
         plan, batch, g, model_mats, normal_mats)
     return shade_stage(plan, batch, g, history, vis, records, shadow_map,
@@ -642,6 +661,28 @@ def check_sun_proof(plan: FramePlan, g: ShaderGlobals):
             "sun projection_view than this frame's g.sun. Rebuild the "
             "scene plan for the new sun (scenes._finish re-runs the "
             "proof) or set shadow_statically_empty=False.")
+
+
+def check_shadow_crop(plan: FramePlan, model_mats):
+    """Raise if `plan` carries a shadow sampling crop proved for
+    DIFFERENT model matrices than this frame's (ADVICE r4): the crop is
+    sound only for the geometry placement it was proved against —
+    moved geometry outside a stale crop would silently lose its shadow.
+    Traced calls pass through (host-side entry points check pre-jit,
+    same contract as check_sun_proof)."""
+    if plan.shadow_crop is None or plan.proved_crop_mats is None:
+        return
+    if isinstance(model_mats, jax.core.Tracer):
+        return
+    import numpy as np
+    proved = np.asarray(plan.proved_crop_mats, np.float32)
+    mm = np.asarray(model_mats, np.float32).ravel()
+    if mm.shape != proved.shape or not np.allclose(mm, proved, atol=1e-6):
+        raise ValueError(
+            "FramePlan.shadow_crop was proved for different model "
+            "matrices than this frame's. Rebuild the scene plan "
+            "(BuiltScene.rebuild re-proves the crop) or set "
+            "shadow_crop=None to sample the full map.")
 
 
 def bench_probe(out: FrameOutputs) -> jax.Array:
@@ -685,11 +726,12 @@ def make_render_fn(plan: FramePlan):
     dispatch (16-float host compare; see check_sun_proof)."""
     f = jax.jit(functools.partial(render_frame, plan),
                 donate_argnames=("history",))
-    if not plan.shadow_statically_empty:
+    if not plan.shadow_statically_empty and plan.shadow_crop is None:
         return f
 
     def checked(batch, g, history, model_mats, normal_mats):
         check_sun_proof(plan, g)
+        check_shadow_crop(plan, model_mats)
         return f(batch, g, history, model_mats, normal_mats)
 
     return checked

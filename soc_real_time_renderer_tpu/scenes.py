@@ -130,10 +130,12 @@ class BuiltScene:
                 self.batch, mm, pos=self._proof_pos,
                 ent=self._proof_ent, sun=self.sun,
                 shadow_resolution=cfg2.shadow_resolution)
-            self.plan = _dc.replace(old, config=cfg2,
-                                    shadow_statically_empty=empty,
-                                    proved_sun_pv=proved,
-                                    shadow_crop=crop)
+            self.plan = _dc.replace(
+                old, config=cfg2, shadow_statically_empty=empty,
+                proved_sun_pv=proved, shadow_crop=crop,
+                proved_crop_mats=(tuple(float(v)
+                                        for v in np.asarray(mm).ravel())
+                                  if crop is not None else None))
         else:
             nb = _finish(self.scene, models, old.config,
                          camera_pos=self.camera_position,
@@ -349,9 +351,13 @@ def _cap_grid(grid, T: int):
     # pair_cap sizes the sorted-record GATHER (a fixed cap-index cost
     # per frame whether pairs exist or not): measured pair counts are
     # ~0.55*T across the animated cameras (sponza 99k of T=168k, full
-    # 185k of T=345k — round-4 CPU sweep), so cap T is ~1.8x margin;
-    # OVERFLOW_PAIRS surfaces any scene/view that exceeds it.
-    want = min(4 * T + med_cap * grid.med_slots, max(T, 131072))
+    # 185k of T=345k — round-4 CPU sweep).  Cap 2*T keeps ~3.6x margin
+    # for unmeasured close-up/free-fly views (ADVICE r4: the hardware
+    # raster never drops fragments, so OVERFLOW_PAIRS must stay a
+    # should-never-fire guard, not a budget); the bf16 pair records
+    # (raster2.build_records) make the cap-indexed gather cheap enough
+    # that the margin costs ~nothing.
+    want = min(4 * T + med_cap * grid.med_slots, max(2 * T, 262144))
     want = -(-want // grid.chunk) * grid.chunk
     return _dc.replace(grid, pair_cap=want, med_cap=med_cap)
 
@@ -389,8 +395,14 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     empty, proved, crop = _prove_shadow(
         batch, np.asarray(mm_np), sun=sun,
         shadow_resolution=config.shadow_resolution)
-    plan = _dc.replace(plan, shadow_statically_empty=empty,
-                       proved_sun_pv=proved, shadow_crop=crop)
+    plan = _dc.replace(
+        plan, shadow_statically_empty=empty, proved_sun_pv=proved,
+        shadow_crop=crop,
+        # the crop is only sound for these transforms — record them so
+        # render_frame can reject a stale crop (ADVICE r4)
+        proved_crop_mats=(tuple(float(v)
+                                for v in np.asarray(mm_np).ravel())
+                          if crop is not None else None))
     # Size the dirty-tile fallback cap from the screen tile count.
     # Chip-measured dirty rates (out/r4/bl123b.log, bl45b.log):
     # sponza 1280x736 = 538..551 of 3680 tiles (15%), full 1920x1088 =

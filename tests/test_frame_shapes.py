@@ -80,7 +80,10 @@ def test_vis_barrier_identical_output():
     plan, batch, g, hist, mm = _setup()
     out_a, _ = fm.render_frame(plan, batch, g, hist, mm, mm)
     hist_b = fm.RenderHistory.create(plan.config)
-    out_b, _ = fm.render_frame(dataclasses.replace(plan, vis_barrier=True),
+    # plan defaults vis_barrier=True, so the A/B must exercise False
+    # (ADVICE r4: comparing the default against replace(..., True) was
+    # vacuous)
+    out_b, _ = fm.render_frame(dataclasses.replace(plan, vis_barrier=False),
                                batch, g, hist_b, mm, mm)
     np.testing.assert_array_equal(np.asarray(out_a.color),
                                   np.asarray(out_b.color))

@@ -195,6 +195,20 @@ class BinGrid:
     bin_w: int | None = None    # bin width in px (default bin_size)
     bin_h: int | None = None    # bin height in px (default bin_size)
     n_small: int = 4            # inline small-path slots per triangle
+    # Record-stream dtype.  "bf16": the (16, PAIR_CAP) f32 stream
+    # becomes (33, PAIR_CAP) bf16 — hi/lo split of the 15 value rows
+    # (same ~16-mantissa-bit trick as the shading records,
+    # gbuffer.build_shading_records) + 3 base-256 id digit rows
+    # (integers <= 255 are exact in bf16).  A TPU gather of a bf16
+    # table is ~6x cheaper than f32 at the same byte count (PERF.md
+    # round-2 dtype cliff), and the pair gather is the dominant
+    # binning cost (VERDICT r4 item 3: ~8.5 of 12.48 ms at config 5).
+    # The resolve kernels reconstruct f32 per chunk (hi + lo; id =
+    # d0*65536 + d1*256 + d2, exact below 2^24 triangles).  Coverage
+    # uses the SAME reconstructed adjugate for every pixel, so edges
+    # move by <= ~2^-16 relative — the same quantization the G-buffer
+    # interpolation already applies.  "f32": the legacy exact stream.
+    rec_dtype: str = "bf16"
 
     def __post_init__(self):
         # the resolve kernel DMAs chunk-aligned windows of the record
@@ -254,15 +268,57 @@ def default_grid(width, height, scale="scene", kind="main"):
 # ---------------------------------------------------------------------------
 
 
-def build_records(setup: PlanarSetup) -> jax.Array:
-    """(16, T+1) resolve records; column T is an always-miss sentinel."""
+REC_ROWS_BF16 = 33   # 15 hi + 15 lo + 3 id digits
+
+
+def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
+    """Resolve records; column T is an always-miss sentinel.
+
+    dtype "f32": (16, T+1) f32 [adj 9 | z 3 | w 3 | id].  ids stored as
+    exact float VALUES (not bitcasts: id bit patterns are denormals
+    that TPU arithmetic flushes to zero).
+    dtype "bf16": (33, T+1) bf16 [15 hi | 15 lo | id base-256 digits]
+    (BinGrid.rec_dtype docstring has the rationale)."""
     T = setup.adj.shape[1]
-    # ids stored as exact float VALUES (not bitcasts: id bit patterns
-    # are denormals that TPU arithmetic flushes to zero)
+    vals = jnp.concatenate([setup.adj, setup.zs, setup.ws], axis=0)
+    if dtype == "bf16":
+        assert T < (1 << 24)
+        ids = jnp.arange(T, dtype=jnp.int32)
+        digits = jnp.stack([(ids >> 16) & 255, (ids >> 8) & 255,
+                            ids & 255]).astype(jnp.bfloat16)
+        hi = vals.astype(jnp.bfloat16)
+        lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rec = jnp.concatenate([hi, lo, digits], axis=0)
+        sentinel = jnp.zeros((REC_ROWS_BF16, 1), jnp.bfloat16)
+        return jnp.concatenate([rec, sentinel], axis=1)
     ids = jnp.arange(T, dtype=jnp.float32)[None, :]
-    rec = jnp.concatenate([setup.adj, setup.zs, setup.ws, ids], axis=0)
+    rec = jnp.concatenate([vals, ids], axis=0)
     sentinel = jnp.zeros((16, 1), jnp.float32)
     return jnp.concatenate([rec, sentinel], axis=1)
+
+
+def _rec_shape(grid: BinGrid):
+    """(rows, dtype) of one record-stream chunk for grid.rec_dtype."""
+    if grid.rec_dtype == "bf16":
+        return REC_ROWS_BF16, jnp.bfloat16
+    return 16, jnp.float32
+
+
+def _load_chunk(raw, rec_dtype: str, want_id: bool = True):
+    """Scratch chunk -> (16 or 15, K) f32 resolve rows [vals | idf].
+
+    The bf16 chunk converts to f32 as a WHOLE first: the hi/lo/digit
+    slices land at non-multiple-of-16 sublane offsets, and slicing the
+    f32 view keeps Mosaic on its common relayout path instead of
+    bf16-tile shifts."""
+    if rec_dtype == "f32":
+        return raw[:] if want_id else raw[0:15]
+    f = raw[:].astype(jnp.float32)              # (33, K)
+    vals = f[0:15] + f[15:30]
+    if not want_id:
+        return vals
+    idf = f[30:31] * 65536.0 + f[31:32] * 256.0 + f[32:33]
+    return jnp.concatenate([vals, idf], axis=0)
 
 
 def build_pairs(setup: PlanarSetup, grid: BinGrid):
@@ -414,7 +470,8 @@ def _resolve_depth_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                 dma_of(ci + 1, 1 - slot).start()
 
             dma_of(ci, slot).wait()
-            rec = scratch[slot]
+            rec = _load_chunk(scratch[slot], grid.rec_dtype,
+                              want_id=False)
             gcol = lane + col_of(ci)
             ok = (gcol >= start) & (gcol < end)
 
@@ -504,7 +561,7 @@ def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                     recs_ref.at[:, pl.ds(col, K)], scratch, sem)
                 dma.start()
                 dma.wait()
-                rec = scratch[:]                          # (16, K)
+                rec = _load_chunk(scratch[:], grid.rec_dtype)  # (16, K) f32
                 gcol = lane + col                         # (1, K)
                 ok = (gcol >= start) & (gcol < end)
                 e0 = rec[0:1] * px + rec[1:2] * py + rec[2:3]
@@ -583,6 +640,7 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
                             lambda gy, gx, starts, row0: (gy, gx),
                             memory_space=pltpu.VMEM)
 
+    rrows, rdt = _rec_shape(grid)
     if depth_only:
         gspec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -590,7 +648,7 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[ospec()],
             # double-buffered chunk scratch (chunk-outer loop nest)
-            scratch_shapes=[pltpu.VMEM((2, 16, grid.chunk), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, rrows, grid.chunk), rdt),
                             pltpu.SemaphoreType.DMA((2,))],
         )
         depth, = pl.pallas_call(
@@ -606,7 +664,7 @@ def resolve(starts, recs, grid: BinGrid, interpret: bool = False,
         grid=(BY, BX // G),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[ospec(), ospec()],
-        scratch_shapes=[pltpu.VMEM((16, grid.chunk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rrows, grid.chunk), rdt),
                         pltpu.SemaphoreType.DMA],
     )
     depth, tid = pl.pallas_call(
@@ -705,7 +763,7 @@ def rasterize(clip, grid: BinGrid, cull: str = "front",
         BYp = _cdiv(grid.by, n_sh) * n_sh
         grid = dataclasses.replace(grid, height=BYp * grid.bh)
     starts, sorted_tids, overflow = build_pairs(setup, grid)
-    records = build_records(setup)
+    records = build_records(setup, dtype=grid.rec_dtype)
     # effective record width: the sorted pair stream S can be shorter
     # than pair_cap for tiny scenes; the kernel DMAs chunk-aligned
     # windows, so the record array must span a chunk multiple >= any

@@ -15,11 +15,21 @@ composited by default (composition.inl:213-216 commented out) —
 RenderConfig.composite_ssr.
 
 The divergent loop (early return / break / phase switch) becomes a
-masked lax.fori_loop state machine in planar (3, H, W) layout; the hit
-colour is fetched once after the loop at the recorded hit uv.
+masked lax.fori_loop state machine, and the TPU cost model picks the
+execution shape (VERDICT r4 item 5): 50 *dependent* screen-space
+gathers have a hard ~6.3 ns/index floor (PERF.md), so the march runs
+on the COMPACTED set of reflective pixels (``ssr(..., compact_cap=N)``)
+— the exact analog of the reference's early return at ``:175-178``,
+where warps whose lanes are all non-metallic never execute the march
+at all.  Cost then scales with actual reflective pixels instead of the
+full screen (sponza is mostly dielectric).  Output is IDENTICAL to the
+dense march: each ray depends only on its own pixel's inputs, and the
+compaction is capped + overflow-flagged (OVERFLOW_SSR_CAP) exactly
+like the texture dirty-tile fallback.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -30,24 +40,21 @@ from ..utils.vec import dot3, normalize3
 RAY_STEP = 0.5
 ITERATIONS = 50
 DISTANCE_BIAS = 0.05
+METALLIC_MIN = 0.01      # early-out threshold (inl:175-178)
+
+OVERFLOW_SSR_CAP = 16    # FrameOutputs.overflow bit: reflective pixels
+#                          exceeded FramePlan.ssr_cap (dropped rays
+#                          output black, never garbage)
 
 
-def ssr(depth, albedo, normal, metallic_roughness, g):
-    """depth: (H, W); albedo/normal: (3, H, W); metallic_roughness:
-    (2, H, W) (R=rough, G=metal).  Returns (3, H, W)."""
-    H, W = depth.shape
-    uv = sampling.grid_uv(H, W)
-
-    pos = view_from_depth(uv, depth, g.camera.inv_projection)  # (3, H, W)
-    vm = g.camera.view[:3, :3]
-    n_view = normalize3(jnp.stack([
-        vm[0, 0] * normal[0] + vm[0, 1] * normal[1] + vm[0, 2] * normal[2],
-        vm[1, 0] * normal[0] + vm[1, 1] * normal[1] + vm[1, 2] * normal[2],
-        vm[2, 0] * normal[0] + vm[2, 1] * normal[1] + vm[2, 2] * normal[2]]))
+def _march(pos, n_view, depth, g):
+    """The 50-iteration state machine on ray bundles of any trailing
+    shape: pos/n_view (3, ...), depth the full (H, W) screen.  Returns
+    (found (...), hit_uv (2, ...))."""
     refl = normalize3(pos - 2.0 * dot3(pos, n_view)[None] * n_view)
-
     proj = g.camera.projection
     inv_p = g.camera.inv_projection
+    tail = pos.shape[1:]
 
     def project_uv(p):
         x = proj[0, 0] * p[0] + proj[0, 1] * p[1] + proj[0, 2] * p[2] + proj[0, 3]
@@ -93,17 +100,68 @@ def ssr(depth, albedo, normal, metallic_roughness, g):
         return (step_n, mpos_n, phase_n, found_n, hit_uv)
 
     init = (step0, march0,
-            jnp.zeros((H, W), jnp.int32), jnp.zeros((H, W), bool),
-            jnp.zeros((2, H, W), jnp.float32))
+            jnp.zeros(tail, jnp.int32), jnp.zeros(tail, bool),
+            jnp.zeros((2,) + tail, jnp.float32))
     _, _, _, found, hit_uv = lax.fori_loop(0, ITERATIONS, body, init)
+    return found, hit_uv
 
-    hit_color = sampling.sample_screen(albedo, hit_uv)        # (3, H, W)
+
+def ssr(depth, albedo, normal, metallic_roughness, g,
+        compact_cap: int = 0):
+    """depth: (H, W); albedo/normal: (3, H, W); metallic_roughness:
+    (2, H, W) (R=rough, G=metal).  Returns ((3, H, W), overflow ()
+    int32, n_active () int32).
+
+    compact_cap > 0: march only the compacted reflective pixels
+    (metallic >= 0.01), up to `compact_cap` of them — see module
+    docstring.  n_active is the true reflective-pixel count this frame
+    (sizes the cap from data, the tex_dirty pattern); overflow carries
+    OVERFLOW_SSR_CAP when it exceeded the cap (over-cap rays output
+    black).  compact_cap == 0: dense march of every pixel (identical
+    output, reference-shaped cost).
+    """
+    H, W = depth.shape
+    uv = sampling.grid_uv(H, W)
+    vm = g.camera.view[:3, :3]
     metallic = metallic_roughness[1]
-    # miss -> BLACK: the reference's albedo fallback at
-    # screen_space_reflection.inl:184-186 is dead code — out_ssr's
-    # alpha is written 1.0 at :183, so `out_ssr == vec4(0.0)` never
-    # holds and a missed march outputs vec4(0,0,0,1).  Only the
-    # non-reflective early-out (:175-178, metallic < 0.01) gets albedo.
-    out = jnp.where(found[None], hit_color, 0.0)
-    out = jnp.where((metallic < 0.01)[None], albedo, out)
-    return out
+
+    def view_normal(nrm):
+        return normalize3(jnp.stack([
+            vm[0, 0] * nrm[0] + vm[0, 1] * nrm[1] + vm[0, 2] * nrm[2],
+            vm[1, 0] * nrm[0] + vm[1, 1] * nrm[1] + vm[1, 2] * nrm[2],
+            vm[2, 0] * nrm[0] + vm[2, 1] * nrm[1] + vm[2, 2] * nrm[2]]))
+
+    if compact_cap <= 0:
+        pos = view_from_depth(uv, depth, g.camera.inv_projection)
+        found, hit_uv = _march(pos, view_normal(normal), depth, g)
+        hit_color = sampling.sample_screen(albedo, hit_uv)    # (3, H, W)
+        out = jnp.where(found[None], hit_color, 0.0)
+        out = jnp.where((metallic < METALLIC_MIN)[None], albedo, out)
+        return out, jnp.int32(0), jnp.int32(-1)
+
+    P = H * W
+    active = (metallic >= METALLIC_MIN).reshape(-1)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    overflow = jnp.where(n_active > compact_cap,
+                         OVERFLOW_SSR_CAP, 0).astype(jnp.int32)
+    idx = jnp.nonzero(active, size=compact_cap, fill_value=P)[0]
+    # unused slots must still march DISTINCT addresses: all-identical
+    # gather indices serialize on the TPU (~2x slower than random,
+    # PERF.md cost curve), so fillers spread across the screen; their
+    # results are never scattered back (their scatter index stays P =
+    # dropped), so colliding with a real pixel is harmless.
+    filler = (jnp.arange(compact_cap, dtype=jnp.int32) * 7919) % P
+    gidx = jax.lax.optimization_barrier(jnp.where(idx < P, idx, filler))
+
+    uvf = uv.reshape(2, P)[:, gidx]
+    df = depth.reshape(-1)[gidx]
+    nf = normal.reshape(3, P)[:, gidx]
+    pos = view_from_depth(uvf, df, g.camera.inv_projection)
+    found, hit_uv = _march(pos, view_normal(nf), depth, g)
+
+    hit_color = sampling.sample_screen(albedo, hit_uv)        # (3, cap)
+    res = jnp.where(found[None], hit_color, 0.0)
+    base = jnp.where((metallic < METALLIC_MIN)[None], albedo, 0.0)
+    out = base.reshape(3, P).at[:, idx].set(res, mode="drop").reshape(
+        3, H, W)
+    return out, overflow, n_active

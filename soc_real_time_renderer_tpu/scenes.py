@@ -412,6 +412,14 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     nt = (config.height // 16) * (config.width // 16)
     cap = max(768, -(-int(0.15 * nt) // 128) * 128)
     plan = _dc.replace(plan, tex_dirty_cap=cap)
+    if config.enable_ssr:
+        # SSR march compaction (ops/ssr.py): cap at 15% of the screen —
+        # generous for the shipped scenes (sponza's materials are
+        # almost entirely dielectric, so reflective coverage is far
+        # lower); FrameOutputs.ssr_active + OVERFLOW_SSR_CAP size/guard
+        # it from data like tex_dirty_cap.
+        scap = -(-int(0.15 * config.width * config.height) // 1024) * 1024
+        plan = _dc.replace(plan, ssr_cap=scap)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
     # staging-upload analog; per-frame re-upload of the packed atlas
     # costs seconds)

@@ -393,3 +393,48 @@ def test_sample_screen_separable_bitexact():
     a = sampling.sample_screen(img, jnp.stack([uu, vv]))
     b = sampling.sample_screen_separable(img, u, v)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ssr_compact_matches_dense():
+    """The compacted SSR march (metallic-pixel early-out, ops/ssr.py)
+    must be pixel-identical to the dense march when the cap holds, and
+    must flag + black-out (never garbage) the over-cap rays."""
+    from soc_real_time_renderer_tpu.ops import ssr as ssr_ops
+    rng = np.random.default_rng(3)
+    H, W = 32, 64
+    depth = jnp.asarray(
+        0.3 + 0.5 * rng.random((H, W), dtype=np.float32))
+    albedo = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+    n = rng.normal(size=(3, H, W)).astype(np.float32)
+    normal = jnp.asarray(n / np.linalg.norm(n, axis=0, keepdims=True))
+    metal = (rng.random((H, W)) < 0.3).astype(np.float32)
+    mr = jnp.stack([jnp.full((H, W), 0.5), jnp.asarray(metal)])
+
+    from soc_real_time_renderer_tpu.camera import Camera3D, camera_matrices
+    cam = Camera3D()
+    cam.resize(W, H)
+    cm = camera_matrices(cam, [0, 0, 1.0], 1, W, H)
+    g = cfg.ShaderGlobals.create(camera=cm, camera_prev=cm,
+                                 frame_counter=np.int32(1))
+
+    dense, ov_d, na_d = ssr_ops.ssr(depth, albedo, normal, mr, g)
+    assert int(ov_d) == 0 and int(na_d) == -1
+    n_act = int(metal.sum())
+    assert n_act > 50
+
+    comp, ov_c, na_c = ssr_ops.ssr(depth, albedo, normal, mr, g,
+                                   compact_cap=n_act + 64)
+    assert int(ov_c) == 0
+    assert int(na_c) == n_act
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(dense))
+
+    # over-cap: flagged, dropped rays are black (metallic, unmarched)
+    tight, ov_t, na_t = ssr_ops.ssr(depth, albedo, normal, mr, g,
+                                    compact_cap=max(64, n_act // 2))
+    assert int(ov_t) & ssr_ops.OVERFLOW_SSR_CAP
+    assert int(na_t) == n_act
+    t = np.asarray(tight)
+    d = np.asarray(dense)
+    differs = np.any(t != d, axis=0)
+    assert np.all(t[:, differs] == 0.0)
+    assert np.all(metal[differs] > 0.0)

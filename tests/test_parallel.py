@@ -164,7 +164,7 @@ def test_sharded_raster_resolve_row_bands(built):
     BYp = -(-grid.by // 8) * 8
     grid_p = dc.replace(grid, height=BYp * grid.bh)
     starts, st, _ = raster2.build_pairs(setup, grid_p)
-    recs = raster2.build_records(setup)
+    recs = raster2.build_records(setup, dtype=grid_p.rec_dtype)
     T = built.batch.num_triangles
     S = st.shape[0]
     cap = min(grid_p.pair_cap, -(-S // grid_p.chunk) * grid_p.chunk)

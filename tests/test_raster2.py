@@ -168,6 +168,31 @@ def test_jit_and_no_recompile():
     np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth))
 
 
+def test_bf16_records_match_f32():
+    """The bf16 hi/lo record stream (default) must agree with the
+    exact f32 stream: identical ids on ~all pixels (the hi+lo
+    reconstruction moves edges by <= ~2^-16 relative) and close
+    depth."""
+    import dataclasses
+    rng = np.random.default_rng(7)
+    n = 60
+    centers = rng.uniform([-1, -1, -4], [1, 1, -2], (n, 3))
+    offs = rng.uniform(-0.5, 0.5, (n, 3, 3))
+    verts = (centers[:, None, :] + offs).reshape(-1, 3).astype(np.float32)
+    clip = make_clip(verts)
+    assert GRID.rec_dtype == "bf16"
+    vis_b, _ = rasterize(clip, n, cull="none")
+    vis_f, _ = rasterize(clip, n, cull="none",
+                         grid=dataclasses.replace(GRID, rec_dtype="f32"))
+    tb = np.asarray(vis_b.tri_id)
+    tf = np.asarray(vis_f.tri_id)
+    flips = (tb != tf).mean()
+    assert flips < 0.002, f"tri_id flips on {flips:.3%} of pixels"
+    same = tb == tf
+    np.testing.assert_allclose(np.asarray(vis_b.depth)[same],
+                               np.asarray(vis_f.depth)[same], atol=2e-4)
+
+
 def test_depth_only_matches_full():
     """The id-free shadow resolve kernel must produce bit-identical
     depth to the full kernel (same records, same chunk math)."""

@@ -97,7 +97,8 @@ def main():
                 # (VERDICT r3: config 7's SSR march was DCE'd).
                 # tex_dirty rides along per frame (VERDICT r3 item 6:
                 # record actual dirty-tile rates per config).
-                return h2, (frame_mod.bench_probe(out), out.tex_dirty)
+                return h2, (frame_mod.bench_probe(out), out.tex_dirty,
+                            out.ssr_active)
             return jax.lax.scan(step, hist, gb)
 
         copts = dict(kv.split("=", 1) for kv in args.compiler_opt) or None
@@ -105,12 +106,12 @@ def main():
                        compiler_options=copts)
         hist = frame_mod.RenderHistory.create(cfg)
         t0 = time.perf_counter()
-        _, (probes, dirts) = runj(built.batch, gb, hist, mm, nm)
+        _, (probes, dirts, ssra) = runj(built.batch, gb, hist, mm, nm)
         float(probes.sum())
         compile_s = time.perf_counter() - t0
         hist = frame_mod.RenderHistory.create(cfg)
         t0 = time.perf_counter()
-        _, (probes, dirts) = runj(built.batch, gb, hist, mm, nm)
+        _, (probes, dirts, ssra) = runj(built.batch, gb, hist, mm, nm)
         float(probes.sum())
         ms = (time.perf_counter() - t0) * 1e3 / args.frames
         tris = built.batch.num_triangles
@@ -119,6 +120,10 @@ def main():
         dirty_s = ("n/a (xla tex path)" if dirts.max() < 0 else
                    f"{dirts.min()}..{dirts.max()} "
                    f"(cap {plan.tex_dirty_cap})")
+        ssra = np.asarray(ssra)
+        if ssra.max() >= 0:
+            dirty_s += (f", ssr active {ssra.min()}..{ssra.max()} "
+                        f"(cap {plan.ssr_cap})")
         print(f"config {num}: {ms:8.2f} ms/frame  "
               f"({tris/1e3:.0f}k tris, {tris * 1e3 / ms / 1e6:.0f} Mtris/s, "
               f"{mpix * 1e3 / ms:.0f} Mpix/s, compile {compile_s:.0f}s, "

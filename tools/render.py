@@ -89,10 +89,12 @@ def main():
     if ov:
         bits = [name for bit, name in [(1, "PAIRS"), (2, "MED_CAP"),
                                        (4, "MED_SLOTS"),
-                                       (8, "TEX_DIRTY")] if ov & bit]
+                                       (8, "TEX_DIRTY"),
+                                       (16, "SSR_CAP")] if ov & bit]
         print(f"WARNING: static caps overflowed ({'|'.join(bits)}) — "
-              f"fragments/texture tiles were dropped; raise BinGrid "
-              f"caps or FramePlan.tex_dirty_cap (scenes.py)")
+              f"fragments/texture tiles/SSR rays were dropped; raise "
+              f"BinGrid caps, FramePlan.tex_dirty_cap or "
+              f"FramePlan.ssr_cap (scenes.py)")
     nd = int(outputs.tex_dirty)
     if nd >= 0:
         print(f"texture tile sampler: {nd} dirty tiles "

@@ -107,8 +107,11 @@ def main():
     od, ot = naive_raster(clipv, idx, 128, 128, cull="front")
     clip_planar = np.ascontiguousarray(
         clipv.reshape(Tn, 3, 4).transpose(1, 2, 0))
+    # kernel-logic check against the exact f32 record stream (the
+    # oracle computes in f32, so the bf16 stream's edge quantization
+    # would conflate kernel bugs with stream precision)
     grid = raster2.BinGrid(width=128, height=128, pair_cap=16384,
-                           med_cap=512)
+                           med_cap=512, rec_dtype="f32")
     vis, _ = raster2.rasterize_jit(jnp.asarray(clip_planar), grid,
                                    "front", interp)
     kd = np.asarray(vis.depth)
@@ -117,6 +120,17 @@ def main():
     derr = np.abs(kd - od).max()
     check("raster-vs-oracle", same_id > 0.999 and derr < 1e-4,
           f"id match {same_id:.4f}, depth err {derr:.2e}")
+
+    # 1b. bf16 record stream vs f32 (the shipped default): the hi/lo
+    # split moves edges by <= ~2^-16 relative — quantify it on chip
+    grid_b = dataclasses.replace(grid, rec_dtype="bf16")
+    vis_b, _ = raster2.rasterize_jit(jnp.asarray(clip_planar), grid_b,
+                                     "front", interp)
+    flips = (np.asarray(vis_b.tri_id) != kt).mean()
+    same = np.asarray(vis_b.tri_id) == kt
+    dberr = np.abs(np.asarray(vis_b.depth)[same] - kd[same]).max()
+    check("raster-bf16-vs-f32", flips < 0.005 and dberr < 2e-4,
+          f"id flips {flips:.4%}, depth err {dberr:.2e}")
 
     # frame fields for the screen-space kernel checks
     out, _ = fm.render_frame(
@@ -195,6 +209,25 @@ def main():
     check("texsample-pallas-vs-xla", xerr < 0.002 and xmax < 0.06,
           f"albedo mean err {xerr:.5f} max {xmax:.4f}")
 
+    # 7. SSR compacted march vs dense (ops/ssr.py): identical pixels
+    # when the cap holds (the helmet IS metallic, so the march runs)
+    from soc_real_time_renderer_tpu.ops import ssr as ssr_ops
+    mrr = out.gbuffer.metallic_roughness
+    dense, _, _ = jax.jit(ssr_ops.ssr, static_argnames=("compact_cap",))(
+        depth, out.gbuffer.albedo, normal, mrr, g)
+    n_act = int(jnp.sum(mrr[1] >= ssr_ops.METALLIC_MIN))
+    cap_t = -(-max(n_act, 1) // 1024) * 1024 + 1024
+    comp, ov7, na7 = jax.jit(
+        ssr_ops.ssr, static_argnames=("compact_cap",))(
+        depth, out.gbuffer.albedo, normal, mrr, g, compact_cap=cap_t)
+    sdiff = float(jnp.abs(comp - dense).max())
+    # <= 1e-6, not == 0: the (cap,) vs (H, W) shapes fuse/FMA-contract
+    # differently (measured 6e-8 on CPU) — same math, different
+    # reassociation
+    check("ssr-compact-vs-dense",
+          sdiff <= 1e-6 and int(ov7) == 0 and int(na7) == n_act,
+          f"max diff {sdiff:.2e}, active {int(na7)}/{n_act} cap {cap_t}")
+
     # 6. golden frames ---------------------------------------------------
     if not args.skip_goldens:
         os.makedirs(GOLD_DIR, exist_ok=True)
@@ -215,6 +248,15 @@ def main():
              dict(width=1920, height=1088)),
             ("c5_full", "full",
              dict(width=1920, height=1088)),
+            # the ONE config whose sun actually lights geometry and
+            # whose 4096² shadow path pays (VERDICT r4 item 6: a
+            # lighting/ESM regression must not pass the c1-c5 goldens,
+            # whose reference-bug suns leave direct light dark)
+            ("c6_helmet_lifted", "helmet_lifted",
+             dict(width=1280, height=736, shadow_resolution=4096,
+                  enable_bloom=False, enable_clouds=False,
+                  enable_taa=False, enable_auto_exposure=False,
+                  enable_hiz=False)),
         ]
         from soc_real_time_renderer_tpu.utils.image_io import save_png
         from PIL import Image

@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--filter", default="",
                     help="override FramePlan.texture_filter "
                          "(bilinear/trilinear A/B, VERDICT r2 item 4)")
+    ap.add_argument("--cloud-impl", default="",
+                    help="override RenderConfig.cloud_impl (lut/"
+                         "perpixel A/B — prices the LUT deviation, "
+                         "VERDICT r4 item 6)")
     ap.add_argument("--compiler-opt", action="append", default=[],
                     help="key=value XLA compiler option (repeatable) — "
                          "compile-latency experiments (VERDICT r3 item "
@@ -80,6 +84,10 @@ def main():
         plan = built.plan
         if args.filter:
             plan = dataclasses.replace(plan, texture_filter=args.filter)
+        if args.cloud_impl:
+            plan = dataclasses.replace(
+                plan, config=plan.config.replace(
+                    cloud_impl=args.cloud_impl))
         cfg = plan.config
         gs = []
         for i in range(args.frames):

@@ -103,6 +103,15 @@ class FramePlan:
     # FrameOutputs.tex_dirty + the overflow bit catch scenes exceeding
     # it; bench_baselines prints the per-frame range.
     tex_dirty_cap: int = 768
+    # Tile-sampler geometry overrides (0 = ops/texsample.py module
+    # defaults): k_top = (material, level) combos the planner considers
+    # per tile, nblk = window slots (kernel contraction height), tps =
+    # tiles per kernel grid step.  Threaded through resolve_gbuffer so
+    # the planner-coverage vs kernel-cost trade is a one-compile chip
+    # A/B (offline dirty-rate curves: tools/study_texplanner.py).
+    tex_k_top: int = 0
+    tex_nblk: int = 0
+    tex_tps: int = 0
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so
@@ -313,6 +322,14 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
     return vis, records, shadow_map, overflow
 
 
+def _tex_geom(plan: FramePlan):
+    """(k_top, nblk, tps) for resolve_gbuffer — plan overrides where
+    nonzero, ops/texsample.py module defaults elsewhere."""
+    from ..ops import texsample as ts
+    return (plan.tex_k_top or ts.K_TOP, plan.tex_nblk or ts.NBLK,
+            plan.tex_tps or ts.TPS)
+
+
 def _row_pin(plan: FramePlan):
     """Returns f(x): pin an image (or pytree of images) to rows split
     over plan.shard_axis — identity when no mesh is configured.  Arrays
@@ -402,7 +419,8 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         atlas_page=batch.atlas_page if use_page else None,
         num_materials=plan.atlas_num_materials,
         tex_dirty_cap=plan.tex_dirty_cap, interpret=interp,
-        shard=shard, stub_records=(plan.stub == "records"))
+        shard=shard, stub_records=(plan.stub == "records"),
+        tex_geom=_tex_geom(plan))
     overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole

@@ -162,7 +162,8 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     atlas_page=None, num_materials: int = 0,
                     tex_dirty_cap: int = 768,
                     interpret: bool = False,
-                    shard=None, stub_records: bool = False
+                    shard=None, stub_records: bool = False,
+                    tex_geom: tuple | None = None
                     ) -> tuple[GBuffer, jax.Array, jax.Array]:
     """Shade the visibility buffer into the 5-target G-buffer.
 
@@ -173,7 +174,14 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     (gbuffer, tex_overflow, tex_dirty) — tex_overflow is
     OVERFLOW_TEX_DIRTY when dirty tiles exceeded tex_dirty_cap;
     tex_dirty is the dirty-tile count (-1 on the XLA path).
+
+    tex_geom: optional (k_top, nblk, tps) tile-sampler geometry
+    override (FramePlan.tex_k_top/tex_nblk/tex_tps — chip A/Bs of the
+    planner-coverage vs kernel-cost trade).
     """
+    from . import texsample as ts
+    tgeom = dict(zip(("k_top", "nblk", "tps"),
+                     tex_geom or (ts.K_TOP, ts.NBLK, ts.TPS)))
     H, W = vis.depth.shape
     T = shading_records.shape[1] - 1
 
@@ -313,7 +321,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     num_materials=num_materials,
                     layer_stride=layer_stride, filter_mode=filter_mode,
                     dirty_cap=tex_dirty_cap, interpret=interpret,
-                    H=Hp, W=W)
+                    H=Hp, W=W, **tgeom)
                 t = t.reshape(11, Hp, W)[:, :Hb]
                 ov = jax.lax.pmax(ov, axis)
                 nd = jax.lax.psum(nd, axis)
@@ -334,7 +342,8 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                 atlas_page, mid, uv, lod, ~miss, atlas, size=atlas_size,
                 n_levels=n_levels, num_materials=num_materials,
                 layer_stride=layer_stride, filter_mode=filter_mode,
-                dirty_cap=tex_dirty_cap, interpret=interpret, H=H, W=W)
+                dirty_cap=tex_dirty_cap, interpret=interpret, H=H, W=W,
+                **tgeom)
     else:
         tex = sample_packed_atlas(atlas, mid, uv, lod, size=atlas_size,
                                   layer_stride=layer_stride,

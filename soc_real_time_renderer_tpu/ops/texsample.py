@@ -226,10 +226,11 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     level_t: (NT, P) int32 mip level per pixel (round(lod) for
     nearest-mip bilinear; floor / floor+1 for the trilinear passes).
 
-    k_top / nblk: default the production constants; overridable for
-    offline planner studies (tools/study_texplanner.py) — the Pallas
-    kernel's geometry is compiled against the module NBLK, so only the
-    defaults are valid for rendering.
+    k_top / nblk: default the production constants; overridable both
+    for offline planner studies (tools/study_texplanner.py) and for
+    rendering — sample_atlas_page compiles its kernel geometry against
+    the same nblk (FramePlan.tex_k_top/tex_nblk thread them through
+    for chip A/Bs).
 
     Returns (perpx (NT, 4, P) f32 [row_idx0, fv, u0, fu],
     dma (NT, nblk, 2) i32 window origins,
@@ -469,13 +470,18 @@ OUT_PAD = TPS * OUT_SUB          # = 256: two vreg-wide output block
 
 
 def _tile_kernel(meta_ref, perpx_ref, sel_ref, page_ref, out_ref, w_buf,
-                 sem):
+                 sem, *, NBLK=NBLK, TPS=None):
     """One grid step = TPS screen tiles (module docstring has the math).
 
     meta_ref: FLAT (NT * (1 + NBLK*2),) i32 scalar-prefetch —
     per tile [n_used, (row, col) x NBLK]; unused slots skip their DMA
     (their W rows keep the previous group's finite values, and no
     pixel's one-hot selects them).
+
+    NBLK / TPS keyword-only overrides: the kernel geometry (window-
+    stack height, meta stride, tiles per step) is compiled per value —
+    FramePlan.tex_nblk/tex_k_top/tex_tps expose them for chip A/Bs
+    (planner-coverage vs kernel-cost trade, VERDICT r4 item 1b).
 
     Stage 2 runs in bf16: window values are u8-valued (<= 255, exact in
     bf16) and each blend adds <= 0.5 ulp ~ 0.5 u8 lsb — within the
@@ -484,6 +490,9 @@ def _tile_kernel(meta_ref, perpx_ref, sel_ref, page_ref, out_ref, w_buf,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if TPS is None:
+        TPS = globals()["TPS"]
+    R_TOTAL = NBLK * WIN_R
     STRIDE = 1 + NBLK * 2
     g = pl.program_id(0)
     ng = pl.num_programs(0)
@@ -565,54 +574,59 @@ def _channel_sel():
     return ((lane % CH == chan) & (chan < CH)).astype(np.float32)
 
 
-def sample_atlas_page(page_arr, meta, perpx, *, interpret: bool = False):
+def sample_atlas_page(page_arr, meta, perpx, *, interpret: bool = False,
+                      nblk: int = NBLK, tps: int = TPS):
     """Run the tile kernel.  page_arr (rows, cols) bf16; meta
-    (NT*(1+NBLK*2),) i32; perpx (NT, 4, P) f32 -> (NT, P, OUT_SUB) bf16
+    (NT*(1+nblk*2),) i32; perpx (NT, 4, P) f32 -> (NT, P, OUT_SUB) bf16
     raw u8-valued channels on lanes 0..CH-1 (rest zero).
 
-    NT is padded up to a multiple of TPS internally (padded tiles have
+    NT is padded up to a multiple of tps internally (padded tiles have
     n_used=0 and all-zero per-pixel rows); the pad is sliced off the
     return value."""
+    import functools
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NT = perpx.shape[0]
-    pad = (-NT) % TPS
+    pad = (-NT) % tps
     if pad:
-        STRIDE = 1 + NBLK * 2
+        STRIDE = 1 + nblk * 2
         meta = jnp.concatenate(
             [meta, jnp.zeros((pad * STRIDE,), jnp.int32)])
         perpx = jnp.concatenate(
             [perpx, jnp.zeros((pad, 4, P), perpx.dtype)])
     ntp = NT + pad
+    r_total = nblk * WIN_R
+    out_pad = tps * OUT_SUB
     sel = jnp.asarray(_channel_sel(), jnp.bfloat16)
     gspec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntp // TPS,),
+        grid=(ntp // tps,),
         in_specs=[
-            pl.BlockSpec((1, TPS * 4, P), lambda t, meta: (t, 0, 0),
+            pl.BlockSpec((1, tps * 4, P), lambda t, meta: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             # constant block: fetched once, resident across steps
             pl.BlockSpec((WIN_LANES, OUT_SUB), lambda t, meta: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),       # page (HBM)
         ],
-        out_specs=pl.BlockSpec((1, P, OUT_PAD), lambda t, meta: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, P, out_pad), lambda t, meta: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TPS * R_TOTAL, WIN_LANES), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, TPS * NBLK)),
+            pltpu.VMEM((2, tps * r_total, WIN_LANES), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, tps * nblk)),
         ],
     )
     packed = pl.pallas_call(
-        _tile_kernel,
+        functools.partial(_tile_kernel, NBLK=nblk, TPS=tps),
         grid_spec=gspec,
-        out_shape=jax.ShapeDtypeStruct((ntp // TPS, P, OUT_PAD),
+        out_shape=jax.ShapeDtypeStruct((ntp // tps, P, out_pad),
                                        jnp.bfloat16),
         interpret=interpret,
-    )(meta, perpx.reshape(ntp // TPS, TPS * 4, P), sel, page_arr)
+    )(meta, perpx.reshape(ntp // tps, tps * 4, P), sel, page_arr)
     # unpack the per-tile 32-lane stripes -> (NT, P, OUT_SUB)
-    out = packed.reshape(ntp // TPS, P, TPS, OUT_SUB).transpose(
+    out = packed.reshape(ntp // tps, P, tps, OUT_SUB).transpose(
         0, 2, 1, 3).reshape(ntp, P, OUT_SUB)
     return out[:NT]
 
@@ -627,7 +641,9 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
                        num_materials: int, layer_stride: int,
                        filter_mode: str = "bilinear",
                        dirty_cap: int = 768,
-                       interpret: bool = False, H: int = 0, W: int = 0):
+                       interpret: bool = False, H: int = 0, W: int = 0,
+                       k_top: int = K_TOP, nblk: int = NBLK,
+                       tps: int = TPS):
     """Tiled sampling of the 11 material channels.
 
     mid/lod/live: (H*W,); uv: (2, H*W); H, W multiples of 16.
@@ -667,14 +683,15 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
     for level_t, weight in passes:
         perpx, dma, n_used, dirty = _plan_tiles_impl(
             mid_t, u_t, v_t, level_t, live_t, page.row0, page.col0,
-            size=size, n_levels=n_levels, num_materials=num_materials)
+            size=size, n_levels=n_levels, num_materials=num_materials,
+            k_top=k_top, nblk=nblk)
         n_used = jnp.where(dirty, 0, n_used)
         meta = jnp.concatenate(
-            [n_used[:, None], dma.reshape(NT, NBLK * 2)],
+            [n_used[:, None], dma.reshape(NT, nblk * 2)],
             axis=1).reshape(-1).astype(jnp.int32)
         res = sample_atlas_page(
-            page.page, meta, perpx,
-            interpret=interpret)[:, :, :CH]            # (NT, P, CH) bf16
+            page.page, meta, perpx, interpret=interpret,
+            nblk=nblk, tps=tps)[:, :, :CH]             # (NT, P, CH) bf16
         dirty_any = dirty_any | dirty
         if weight is None:
             out_t = res

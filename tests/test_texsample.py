@@ -195,3 +195,29 @@ def test_planner_single_combo_tile_uses_one_slot():
         num_materials=atlas.num_materials)
     assert not bool(np.asarray(dirty0).any()), np.asarray(dirty0)
     np.testing.assert_array_equal(np.asarray(n_used0), 1)
+
+def test_geometry_override_matches_default():
+    """Non-default (k_top, nblk, tps) planner/kernel geometry must
+    sample the same VALUES (different tiles may plan differently, but
+    every covered pixel's window holds the same texels; dirty tiles
+    fall back to the exact gather either way)."""
+    atlas = _toy_atlas()
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 64
+    mid, uv, lod, live = _smooth_fields(H, W, atlas.num_materials)
+
+    base, ov0, _ = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, interpret=True, H=H, W=W)
+    alt, ov1, _ = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, interpret=True, H=H, W=W,
+        k_top=8, nblk=8, tps=4)
+    assert int(ov0) == 0 and int(ov1) == 0
+    m = np.asarray(live)
+    err = np.abs(np.asarray(base) - np.asarray(alt))[:, m]
+    # identical up to bf16 blend rounding between kernel/fallback paths
+    assert err.max() < 3.5 / 255.0, err.max()

@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--filter", default="",
                     help="override FramePlan.texture_filter "
                          "(bilinear/trilinear A/B, VERDICT r2 item 4)")
+    ap.add_argument("--tex-geom", default="",
+                    help="k_top,nblk,tps tile-sampler geometry A/B "
+                         "(e.g. 8,8,8) — FramePlan.tex_k_top/nblk/tps")
     ap.add_argument("--cloud-impl", default="",
                     help="override RenderConfig.cloud_impl (lut/"
                          "perpixel A/B — prices the LUT deviation, "
@@ -84,6 +87,10 @@ def main():
         plan = built.plan
         if args.filter:
             plan = dataclasses.replace(plan, texture_filter=args.filter)
+        if args.tex_geom:
+            kt, nb, tp = (int(s) for s in args.tex_geom.split(","))
+            plan = dataclasses.replace(plan, tex_k_top=kt, tex_nblk=nb,
+                                       tex_tps=tp)
         if args.cloud_impl:
             plan = dataclasses.replace(
                 plan, config=plan.config.replace(

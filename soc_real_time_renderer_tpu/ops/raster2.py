@@ -268,7 +268,12 @@ def default_grid(width, height, scale="scene", kind="main"):
 # ---------------------------------------------------------------------------
 
 
-REC_ROWS_BF16 = 33   # 15 hi + 15 lo + 3 id digits
+REC_ROWS_BF16 = 40   # 15 hi + 15 lo + 3 id digits + 7 pad: the
+#                      kernel's HBM chunk DMA slices full rows, and
+#                      Mosaic requires the sliced row count aligned to
+#                      the bf16 HBM tiling (8) — 33 rows fails to
+#                      compile ("Slice shape along dimension 0 must be
+#                      aligned to tiling (8)")
 
 
 def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
@@ -277,8 +282,8 @@ def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
     dtype "f32": (16, T+1) f32 [adj 9 | z 3 | w 3 | id].  ids stored as
     exact float VALUES (not bitcasts: id bit patterns are denormals
     that TPU arithmetic flushes to zero).
-    dtype "bf16": (33, T+1) bf16 [15 hi | 15 lo | id base-256 digits]
-    (BinGrid.rec_dtype docstring has the rationale)."""
+    dtype "bf16": (40, T+1) bf16 [15 hi | 15 lo | id base-256 digits |
+    7 pad] (BinGrid.rec_dtype docstring has the rationale)."""
     T = setup.adj.shape[1]
     vals = jnp.concatenate([setup.adj, setup.zs, setup.ws], axis=0)
     if dtype == "bf16":
@@ -288,7 +293,9 @@ def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
                             ids & 255]).astype(jnp.bfloat16)
         hi = vals.astype(jnp.bfloat16)
         lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        rec = jnp.concatenate([hi, lo, digits], axis=0)
+        rec = jnp.concatenate(
+            [hi, lo, digits,
+             jnp.zeros((REC_ROWS_BF16 - 33, T), jnp.bfloat16)], axis=0)
         sentinel = jnp.zeros((REC_ROWS_BF16, 1), jnp.bfloat16)
         return jnp.concatenate([rec, sentinel], axis=1)
     ids = jnp.arange(T, dtype=jnp.float32)[None, :]

@@ -268,12 +268,16 @@ def default_grid(width, height, scale="scene", kind="main"):
 # ---------------------------------------------------------------------------
 
 
-REC_ROWS_BF16 = 40   # 15 hi + 15 lo + 3 id digits + 7 pad: the
-#                      kernel's HBM chunk DMA slices full rows, and
-#                      Mosaic requires the sliced row count aligned to
-#                      the bf16 HBM tiling (8) — 33 rows fails to
-#                      compile ("Slice shape along dimension 0 must be
-#                      aligned to tiling (8)")
+REC_ROWS_BF16 = 48   # three 16-row groups (see build_records): every
+#                      kernel slice is a 16-row group at a 16-aligned
+#                      offset.  Lessons from the first chip window:
+#                      Mosaic rejects HBM row slices not aligned to the
+#                      bf16 (8,128) tiling outright (33 rows), and
+#                      VMEM sublane slices at unaligned offsets
+#                      (f[15:30]) SILENTLY read wrong rows — the chip
+#                      parity check caught depth collapsing to
+#                      bf16-only precision (4e-3) because the lo rows
+#                      never landed.
 
 
 def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
@@ -282,20 +286,31 @@ def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
     dtype "f32": (16, T+1) f32 [adj 9 | z 3 | w 3 | id].  ids stored as
     exact float VALUES (not bitcasts: id bit patterns are denormals
     that TPU arithmetic flushes to zero).
-    dtype "bf16": (40, T+1) bf16 [15 hi | 15 lo | id base-256 digits |
-    7 pad] (BinGrid.rec_dtype docstring has the rationale)."""
+
+    dtype "bf16": (48, T+1) bf16, three 16-row groups that reconstruct
+    with two aligned vector adds (_load_chunk):
+      group 0 rows 0-14: value hi;        row 15: id_d0 * 65536
+      group 1 rows 0-14: value lo;        row 15: id_d1 * 256
+      group 2 rows 0-14: zero;            row 15: id_d2
+    so f32(g0) + f32(g1) + f32(g2) = [15 exact hi+lo values | exact
+    float id] — each pre-scaled base-256 digit is an 8-bit integer
+    times a power of two, exact in bf16; the sum is < 2^24, exact in
+    f32 (BinGrid.rec_dtype docstring has the cost rationale)."""
     T = setup.adj.shape[1]
     vals = jnp.concatenate([setup.adj, setup.zs, setup.ws], axis=0)
     if dtype == "bf16":
         assert T < (1 << 24)
         ids = jnp.arange(T, dtype=jnp.int32)
-        digits = jnp.stack([(ids >> 16) & 255, (ids >> 8) & 255,
-                            ids & 255]).astype(jnp.bfloat16)
+        d0 = (((ids >> 16) & 255) << 16).astype(jnp.float32)
+        d1 = (((ids >> 8) & 255) << 8).astype(jnp.float32)
+        d2 = (ids & 255).astype(jnp.float32)
         hi = vals.astype(jnp.bfloat16)
         lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        z15 = jnp.zeros((15, T), jnp.bfloat16)
         rec = jnp.concatenate(
-            [hi, lo, digits,
-             jnp.zeros((REC_ROWS_BF16 - 33, T), jnp.bfloat16)], axis=0)
+            [hi, d0[None].astype(jnp.bfloat16),
+             lo, d1[None].astype(jnp.bfloat16),
+             z15, d2[None].astype(jnp.bfloat16)], axis=0)
         sentinel = jnp.zeros((REC_ROWS_BF16, 1), jnp.bfloat16)
         return jnp.concatenate([rec, sentinel], axis=1)
     ids = jnp.arange(T, dtype=jnp.float32)[None, :]
@@ -314,18 +329,16 @@ def _rec_shape(grid: BinGrid):
 def _load_chunk(raw, rec_dtype: str, want_id: bool = True):
     """Scratch chunk -> (16 or 15, K) f32 resolve rows [vals | idf].
 
-    The bf16 chunk converts to f32 as a WHOLE first: the hi/lo/digit
-    slices land at non-multiple-of-16 sublane offsets, and slicing the
-    f32 view keeps Mosaic on its common relayout path instead of
-    bf16-tile shifts."""
+    bf16: two adds over 16-row groups at 16-ALIGNED offsets — Mosaic
+    silently mis-slices bf16/converted arrays at unaligned sublane
+    offsets (REC_ROWS_BF16 note), so no 15-row or offset-15 slice may
+    appear here.  Row 15 of the sum is the exact float id
+    (build_records docstring)."""
     if rec_dtype == "f32":
         return raw[:] if want_id else raw[0:15]
-    f = raw[:].astype(jnp.float32)              # (33, K)
-    vals = f[0:15] + f[15:30]
-    if not want_id:
-        return vals
-    idf = f[30:31] * 65536.0 + f[31:32] * 256.0 + f[32:33]
-    return jnp.concatenate([vals, idf], axis=0)
+    f = raw[:].astype(jnp.float32)              # (48, K)
+    rec = f[0:16] + f[16:32] + f[32:48]
+    return rec if want_id else rec[0:15]
 
 
 def build_pairs(setup: PlanarSetup, grid: BinGrid):

@@ -349,6 +349,13 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                                   layer_stride=layer_stride,
                                   n_levels=n_levels,
                                   filter_mode=filter_mode)  # (11, P)
+    # render-target barrier on the sampled texel block: its four
+    # consumer chains (albedo/normal/mr/emissive) otherwise invite XLA
+    # to fuse — and recompute — the untileize transpose + dirty-tile
+    # scatter per consumer (the same recompute pathology as the
+    # G-buffer targets below); one (11, P) materialization is ~0.25 ms
+    # at 1088p
+    tex = jax.lax.optimization_barrier(tex)
     albedo_t = _srgb_to_linear(tex[0:3])
     normal_t = tex[3:6]
     mr_gb = tex[6:8]

@@ -209,6 +209,12 @@ class BinGrid:
     # move by <= ~2^-16 relative — the same quantization the G-buffer
     # interpolation already applies.  "f32": the legacy exact stream.
     rec_dtype: str = "bf16"
+    # Diagnostic kill-switch for the in-pass z early-out (the
+    # near-to-far chunk stop in _resolve_kernel): under record
+    # quantization, sliver triangles' computed per-pixel z can err by
+    # more than the stop margin, making an early stop drop a
+    # later-chunk winner — tools/diag_bf16.py A/Bs this on chip.
+    early_out: bool = True
 
     def __post_init__(self):
         # the resolve kernel DMAs chunk-aligned windows of the record
@@ -622,6 +628,8 @@ def _resolve_kernel(grid: BinGrid, starts_ref, row0_ref, recs_ref,
                     jnp.where(ok, rec_zmin, jnp.inf))     # ()
                 zworst = jnp.max(jnp.where(jnp.isfinite(zb), zb, 1.0))
                 stop = (chunk_zmin - 1.0 / (ZQ - 1)) > zworst
+                if not grid.early_out:
+                    stop = jnp.bool_(False)
                 return ci + 1, zb, ib, stop
 
             z0 = jnp.full((PSUB, 1), jnp.inf, jnp.float32)

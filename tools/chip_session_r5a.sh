@@ -43,7 +43,7 @@ step() { # name timeout_s cmd...
 }
 
 all_done() {
-    for n in render1 verify5_nogold bl123 bl45 bl67 attr2 attr5 \
+    for n in render1 bf16diag verify5_nogold bl123 bl45 bl67 attr2 attr5 \
              bandres clouds5 hlo5on hlo5off hlo3 hlo3tex texparts5 \
              complat1 complat2 bench5; do
         [ -f "$LOG/$n.ok" ] || return 1
@@ -61,6 +61,8 @@ while ! all_done; do
     # 1. cheap end-to-end smoke of the bf16 raster stream on chip
     step render1 600 python tools/render.py --scene helmet --width 640 \
         --height 384 --frames 2 --out "$LOG/render1.png" || continue
+    # 1b. root-cause the chip-vs-interpret bf16 flip gap (early-out A/B)
+    step bf16diag 1800 python tools/diag_bf16.py || continue
     # 2. kernel parity incl. raster-bf16-vs-f32 + ssr-compact-vs-dense
     step verify5_nogold 2800 python tools/verify_chip.py \
         --skip-goldens || continue

@@ -112,6 +112,16 @@ class FramePlan:
     tex_k_top: int = 0
     tex_nblk: int = 0
     tex_tps: int = 0
+    # Per-PIXEL fallback compaction (texsample.sample_atlas_tiled
+    # docstring, VERDICT r4 item 1b): dirty tiles keep their kernel
+    # windows and only genuinely uncovered pixels re-gather through the
+    # compacted XLA path — fallback cost tracks actual uncovered pixels
+    # instead of the fixed tex_dirty_cap*256 tax, and over-cap failure
+    # degrades per-pixel instead of per-tile.  tex_px_cap = 0 sizes the
+    # cap at ~6% of the screen; FrameOutputs.tex_dirty then reports
+    # uncovered PIXELS.
+    tex_px_fallback: bool = False
+    tex_px_cap: int = 0
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so
@@ -420,7 +430,8 @@ def shade_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         num_materials=plan.atlas_num_materials,
         tex_dirty_cap=plan.tex_dirty_cap, interpret=interp,
         shard=shard, stub_records=(plan.stub == "records"),
-        tex_geom=_tex_geom(plan))
+        tex_geom=_tex_geom(plan),
+        tex_px_fallback=plan.tex_px_fallback, tex_px_cap=plan.tex_px_cap)
     overflow = overflow | tex_overflow
     # materialize the G-buffer targets that downstream passes consume
     # through shifts/resamples: without the barrier XLA fuses the whole

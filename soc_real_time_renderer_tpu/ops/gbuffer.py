@@ -163,7 +163,8 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                     tex_dirty_cap: int = 768,
                     interpret: bool = False,
                     shard=None, stub_records: bool = False,
-                    tex_geom: tuple | None = None
+                    tex_geom: tuple | None = None,
+                    tex_px_fallback: bool = False, tex_px_cap: int = 0
                     ) -> tuple[GBuffer, jax.Array, jax.Array]:
     """Shade the visibility buffer into the 5-target G-buffer.
 
@@ -178,10 +179,16 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
     tex_geom: optional (k_top, nblk, tps) tile-sampler geometry
     override (FramePlan.tex_k_top/tex_nblk/tex_tps — chip A/Bs of the
     planner-coverage vs kernel-cost trade).
+
+    tex_px_fallback / tex_px_cap: per-pixel fallback compaction
+    (texsample.sample_atlas_tiled docstring; FramePlan.tex_px_fallback
+    threads it).  tex_px_cap = 0 sizes the cap at ~6% of the screen.
     """
     from . import texsample as ts
     tgeom = dict(zip(("k_top", "nblk", "tps"),
                      tex_geom or (ts.K_TOP, ts.NBLK, ts.TPS)))
+    tgeom["px_fallback"] = tex_px_fallback
+    tgeom["px_cap"] = tex_px_cap
     H, W = vis.depth.shape
     T = shading_records.shape[1] - 1
 

@@ -220,7 +220,8 @@ def _masked_bbox(m, x0, y0):
 
 def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
                      size: int, n_levels: int, num_materials: int,
-                     k_top: int = K_TOP, nblk: int = NBLK):
+                     k_top: int = K_TOP, nblk: int = NBLK,
+                     px_fallback: bool = False):
     """Per-tile window planning on tiled (NT, P) arrays.
 
     level_t: (NT, P) int32 mip level per pixel (round(lod) for
@@ -232,9 +233,20 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     the same nblk (FramePlan.tex_k_top/tex_nblk thread them through
     for chip A/Bs).
 
+    px_fallback: per-PIXEL fallback mode (VERDICT r4 item 1b).  In the
+    default (tile) mode a dirty tile discards ALL its windows (n_used
+    is zeroed by the caller) and the whole tile re-gathers through the
+    XLA path — a fixed dirty_cap*256-pixel tax.  In px mode, windows
+    stay live on dirty tiles (only genuinely over-slot windows are
+    dropped), pixels they cover keep the kernel result, and ONLY the
+    uncovered pixels go to a compacted XLA gather — fallback cost
+    tracks actual uncovered pixels, and unfit/over-slot tiles degrade
+    per-pixel instead of per-tile.
+
     Returns (perpx (NT, 4, P) f32 [row_idx0, fv, u0, fu],
     dma (NT, nblk, 2) i32 window origins,
-    used (NT,) i32 slot count, dirty (NT,) bool).
+    used (NT,) i32 slot count, dirty (NT,) bool,
+    covered (NT, P) bool — pixels the kernel samples exactly).
     """
     K_TOP = k_top
     NBLK = nblk
@@ -397,15 +409,19 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     s_safe = jnp.maximum(s_kc, 1)
 
     slot_ids = jnp.arange(NBLK, dtype=jnp.int32)
+    # px mode: keep windows live on dirty tiles; only over-slot windows
+    # (slot_raw >= NBLK) are invalid.  Tile mode: kill the whole tile
+    # (slot_raw < NBLK is then vacuous — dirty covers n_used > NBLK).
+    kill = jnp.zeros_like(dirty) if px_fallback else dirty
     for ci, (cm, (xmn, ymn)) in enumerate(zip(cand_masks, cand_bbox)):
         used = used_kc[:, :, ci]                      # (NT, K)
         ox = jnp.where(small, 0, (xmn // COL_AL) * COL_AL)
         oy = jnp.where(small, 0, (ymn // ROW_AL) * ROW_AL)
         pr = r0_kc + jnp.remainder(oy, s_safe)
         pc = c0_kc + jnp.remainder(ox, s_safe) * CH
-        slot = jnp.clip(slot_of.reshape(NT, K_TOP, 4)[:, :, ci],
-                        0, NBLK - 1)                  # (NT, K)
-        sel = used & ~dirty[:, None]
+        slot_raw = slot_of.reshape(NT, K_TOP, 4)[:, :, ci]
+        slot = jnp.clip(slot_raw, 0, NBLK - 1)        # (NT, K)
+        sel = used & ~kill[:, None] & (slot_raw < NBLK)
         onehot = (slot[:, :, None] == slot_ids[None, None, :]) \
             & sel[:, :, None]                         # (NT, K, NBLK)
         dma_r = dma_r + jnp.sum(jnp.where(onehot, pr[:, :, None], 0),
@@ -449,7 +465,7 @@ def _plan_tiles_impl(mid_t, u_t, v_t, level_t, live_t, row0, col0, *,
     ], axis=1)                                        # (NT, 4, P)
 
     dma = jnp.stack([dma_r, dma_c], axis=2).astype(jnp.int32)
-    return perpx, dma, jnp.minimum(n_used, NBLK), dirty
+    return perpx, dma, jnp.minimum(n_used, NBLK), dirty, covered
 
 
 # ---------------------------------------------------------------------------
@@ -643,7 +659,8 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
                        dirty_cap: int = 768,
                        interpret: bool = False, H: int = 0, W: int = 0,
                        k_top: int = K_TOP, nblk: int = NBLK,
-                       tps: int = TPS):
+                       tps: int = TPS, px_fallback: bool = False,
+                       px_cap: int = 0):
     """Tiled sampling of the 11 material channels.
 
     mid/lod/live: (H*W,); uv: (2, H*W); H, W multiples of 16.
@@ -658,6 +675,15 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
     atlas_fallback: the (N, 12) i32 expanded atlas for dirty tiles
     (exact XLA path, ops/gbuffer.sample_packed_atlas with the same
     filter_mode — bit-comparable up to bf16 blend rounding).
+
+    px_fallback / px_cap (VERDICT r4 item 1b): per-PIXEL fallback.
+    Dirty tiles keep their kernel windows; only pixels no window covers
+    compact (jnp.nonzero, the SSR-march pattern) into a px_cap-slot XLA
+    gather + scatter-back.  Cost tracks ACTUAL uncovered pixels (the
+    tile mode re-gathers dirty_cap*256 px regardless), and the failure
+    mode shrinks from garbage TILES to dropped uncovered PIXELS past
+    the cap.  n_dirty then reports uncovered PIXELS, and overflow fires
+    on the pixel cap.  px_cap = 0 sizes it at ~6% of the screen.
     """
     from . import gbuffer as gbuf_ops
 
@@ -680,12 +706,14 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
 
     out_t = None
     dirty_any = jnp.zeros((NT,), bool)
+    covered_all = None
     for level_t, weight in passes:
-        perpx, dma, n_used, dirty = _plan_tiles_impl(
+        perpx, dma, n_used, dirty, covered = _plan_tiles_impl(
             mid_t, u_t, v_t, level_t, live_t, page.row0, page.col0,
             size=size, n_levels=n_levels, num_materials=num_materials,
-            k_top=k_top, nblk=nblk)
-        n_used = jnp.where(dirty, 0, n_used)
+            k_top=k_top, nblk=nblk, px_fallback=px_fallback)
+        if not px_fallback:
+            n_used = jnp.where(dirty, 0, n_used)
         meta = jnp.concatenate(
             [n_used[:, None], dma.reshape(NT, nblk * 2)],
             axis=1).reshape(-1).astype(jnp.int32)
@@ -693,37 +721,73 @@ def sample_atlas_tiled(page: AtlasPageDevice, mid, uv, lod, live,
             page.page, meta, perpx, interpret=interpret,
             nblk=nblk, tps=tps)[:, :, :CH]             # (NT, P, CH) bf16
         dirty_any = dirty_any | dirty
+        covered_all = covered if covered_all is None \
+            else covered_all & covered
         if weight is None:
             out_t = res
         else:
             w3 = weight[:, :, None].astype(jnp.bfloat16)
             out_t = res * w3 if out_t is None else out_t + res * w3
 
-    # ---- dirty-tile fallback: exact gather on compacted tiles
-    dirty_ids = jnp.nonzero(dirty_any, size=dirty_cap, fill_value=NT)[0]
-    n_dirty = jnp.sum(dirty_any.astype(jnp.int32))
-    overflow = jnp.where(n_dirty > dirty_cap,
-                         OVERFLOW_TEX_DIRTY, 0).astype(jnp.int32)
-    dsafe = jnp.minimum(dirty_ids, NT - 1)
-    # NOTE: unused fallback slots (dirty_ids == NT fill) re-gather tile
-    # NT-1's pixels.  Clamping them to a degenerate constant index was
-    # MEASURED SLOWER (config 1: 9.4 -> 11.1 ms/frame; isolated: an
-    # all-zero-index (N,12) gather costs 88.6 ms where random costs
-    # 47.1 — same-address lanes serialize).  Fallback cost is therefore
-    # ~dirty_cap * P regardless of index content: the cap is sized per
-    # scene (FramePlan.tex_dirty_cap), not masked per frame.
-    f_mid = mid_t[dsafe].reshape(-1)
-    f_uv = jnp.stack([u_t[dsafe].reshape(-1), v_t[dsafe].reshape(-1)])
-    f_lod = lod_t[dsafe].reshape(-1)
-    tex_f = gbuf_ops.sample_packed_atlas(
-        atlas_fallback, f_mid, f_uv, f_lod, size=size,
-        layer_stride=layer_stride, n_levels=n_levels,
-        filter_mode=filter_mode)                      # (11, D*P)
-    tex_f = (tex_f.reshape(11, dirty_cap, P).transpose(1, 2, 0)
-             * 255.0).astype(jnp.bfloat16)
-    pad_row = jnp.zeros((dirty_cap, P, 1), jnp.bfloat16)
-    tex_f = jnp.concatenate([tex_f, pad_row], axis=2)  # (D, P, CH)
-    out_t = out_t.at[dirty_ids].set(tex_f, mode="drop")
+    if px_fallback:
+        # ---- per-pixel fallback: exact gather on compacted uncovered
+        # pixels (docstring; trilinear needs BOTH passes covered)
+        NPIX = NT * P
+        cap = px_cap if px_cap > 0 else -(-int(0.06 * NPIX) // 1024) * 1024
+        unc = (live_t & ~covered_all).reshape(-1)
+        n_dirty = jnp.sum(unc.astype(jnp.int32))      # uncovered PIXELS
+        overflow = jnp.where(n_dirty > cap,
+                             OVERFLOW_TEX_DIRTY, 0).astype(jnp.int32)
+        q = jnp.nonzero(unc, size=cap, fill_value=NPIX)[0]
+        fill = q >= NPIX
+        # fill slots gather DISTINCT addresses (results dropped on the
+        # scatter): identical-address lanes serialize — an all-one-index
+        # gather measured 88.6 ms where random costs 47.1 (PERF.md)
+        qg = jax.lax.optimization_barrier(
+            jnp.where(fill, jnp.arange(cap, dtype=q.dtype) % NPIX, q))
+        fields = jnp.stack([
+            mid_t.reshape(-1).astype(jnp.float32), u_t.reshape(-1),
+            v_t.reshape(-1), lod_t.reshape(-1)])      # one fat gather
+        f = fields[:, qg]
+        tex_f = gbuf_ops.sample_packed_atlas(
+            atlas_fallback, jnp.round(f[0]).astype(jnp.int32), f[1:3],
+            f[3], size=size, layer_stride=layer_stride,
+            n_levels=n_levels, filter_mode=filter_mode)   # (11, cap)
+        texp = jnp.concatenate(
+            [(tex_f.T * 255.0).astype(jnp.bfloat16),
+             jnp.zeros((cap, 1), jnp.bfloat16)], axis=1)  # (cap, CH)
+        qs = jnp.where(fill, NPIX, q)                 # NPIX: dropped
+        out_t = (out_t.reshape(NPIX, CH).at[qs]
+                 .set(texp, mode="drop").reshape(NT, P, CH))
+    else:
+        # ---- dirty-tile fallback: exact gather on compacted tiles
+        dirty_ids = jnp.nonzero(dirty_any, size=dirty_cap,
+                                fill_value=NT)[0]
+        n_dirty = jnp.sum(dirty_any.astype(jnp.int32))
+        overflow = jnp.where(n_dirty > dirty_cap,
+                             OVERFLOW_TEX_DIRTY, 0).astype(jnp.int32)
+        dsafe = jnp.minimum(dirty_ids, NT - 1)
+        # NOTE: unused fallback slots (dirty_ids == NT fill) re-gather
+        # tile NT-1's pixels.  Clamping them to a degenerate constant
+        # index was MEASURED SLOWER (config 1: 9.4 -> 11.1 ms/frame;
+        # isolated: an all-zero-index (N,12) gather costs 88.6 ms where
+        # random costs 47.1 — same-address lanes serialize).  Fallback
+        # cost is therefore ~dirty_cap * P regardless of index content:
+        # the cap is sized per scene (FramePlan.tex_dirty_cap), not
+        # masked per frame.
+        f_mid = mid_t[dsafe].reshape(-1)
+        f_uv = jnp.stack([u_t[dsafe].reshape(-1),
+                          v_t[dsafe].reshape(-1)])
+        f_lod = lod_t[dsafe].reshape(-1)
+        tex_f = gbuf_ops.sample_packed_atlas(
+            atlas_fallback, f_mid, f_uv, f_lod, size=size,
+            layer_stride=layer_stride, n_levels=n_levels,
+            filter_mode=filter_mode)                      # (11, D*P)
+        tex_f = (tex_f.reshape(11, dirty_cap, P).transpose(1, 2, 0)
+                 * 255.0).astype(jnp.bfloat16)
+        pad_row = jnp.zeros((dirty_cap, P, 1), jnp.bfloat16)
+        tex_f = jnp.concatenate([tex_f, pad_row], axis=2)  # (D, P, CH)
+        out_t = out_t.at[dirty_ids].set(tex_f, mode="drop")
 
     out = _untileize_pc(out_t, H, W)[:11].astype(jnp.float32) / 255.0
     return out.reshape(11, H * W), overflow, n_dirty

@@ -84,7 +84,8 @@ class BuiltScene:
     # rebuild must not silently revert them (trilinear A/B, sharding,
     # interpret mode, fallback caps)
     _PLAN_OVERRIDES = ("texture_filter", "texture_impl", "interpret",
-                       "shard_mesh", "shard_axis", "tex_dirty_cap")
+                       "shard_mesh", "shard_axis", "tex_dirty_cap",
+                       "tex_px_fallback", "tex_px_cap")
 
     def rebuild(self) -> None:
         """Re-derive the render state from the LIVE scene (the analog

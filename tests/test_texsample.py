@@ -111,6 +111,83 @@ def test_incoherent_tiles_fall_back_exactly():
                                atol=0.6 / 255.0)
 
 
+def test_px_fallback_matches_oracle_on_incoherent_tiles():
+    """Per-pixel fallback compaction (FramePlan.tex_px_fallback): on an
+    incoherent scene the planner windows cover few pixels, so most ride
+    the compacted per-pixel XLA gather — the combined result must match
+    the oracle like the tile fallback does (kernel-covered pixels within
+    bf16 blend rounding, uncovered pixels exactly)."""
+    atlas = _toy_atlas(seed=2)
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 32
+    rng = np.random.default_rng(3)
+    Pn = H * W
+    mid = jnp.asarray(rng.integers(0, atlas.num_materials, Pn), jnp.int32)
+    uv = jnp.asarray(rng.random((2, Pn), dtype=np.float32) * 4 - 1)
+    lod = jnp.asarray(rng.random(Pn, dtype=np.float32) * 4)
+    live = jnp.ones((Pn,), bool)
+
+    got, overflow, n_dirty = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, filter_mode="bilinear",
+        interpret=True, H=H, W=W, px_fallback=True, px_cap=Pn)
+    want = gbuffer.sample_packed_atlas(
+        jnp.asarray(dev), mid, uv, jnp.clip(lod, 0, atlas.n_levels - 1),
+        size=atlas.size, layer_stride=atlas.layer_stride,
+        n_levels=atlas.n_levels, filter_mode="bilinear")
+    assert int(overflow) == 0
+    assert 0 < int(n_dirty) <= Pn       # n_dirty now counts PIXELS
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert err.max() < 3.5 / 255.0, err.max()
+    assert err.mean() < 0.6 / 255.0
+
+
+def test_px_fallback_clean_scene_matches_tile_mode():
+    """On a smooth scene (no dirty tiles) px mode must be identical to
+    the default tile mode — both are the pure kernel result."""
+    atlas = _toy_atlas()
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 64
+    mid, uv, lod, live = _smooth_fields(H, W, atlas.num_materials)
+    kw = dict(size=atlas.size, n_levels=atlas.n_levels,
+              num_materials=atlas.num_materials,
+              layer_stride=atlas.layer_stride, filter_mode="bilinear",
+              interpret=True, H=H, W=W)
+    got_t, _, _ = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), **kw)
+    got_p, overflow, n_dirty = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), px_fallback=True,
+        **kw)
+    assert int(overflow) == 0
+    assert int(n_dirty) == 0
+    m = np.asarray(live)
+    np.testing.assert_array_equal(np.asarray(got_t)[:, m],
+                                  np.asarray(got_p)[:, m])
+
+
+def test_px_fallback_cap_overflow_flag():
+    atlas = _toy_atlas(seed=4)
+    dev = expand_atlas_bilinear(atlas)
+    page = _page_dev(atlas)
+    H = W = 32
+    rng = np.random.default_rng(5)
+    Pn = H * W
+    mid = jnp.asarray(rng.integers(0, atlas.num_materials, Pn), jnp.int32)
+    uv = jnp.asarray(rng.random((2, Pn), dtype=np.float32) * 8)
+    lod = jnp.asarray(rng.random(Pn, dtype=np.float32) * 3)
+    live = jnp.ones((Pn,), bool)
+    _, overflow, n_dirty = texsample.sample_atlas_tiled(
+        page, mid, uv, lod, live, jnp.asarray(dev), size=atlas.size,
+        n_levels=atlas.n_levels, num_materials=atlas.num_materials,
+        layer_stride=atlas.layer_stride, interpret=True, H=H, W=W,
+        px_fallback=True, px_cap=16)
+    assert int(overflow) == texsample.OVERFLOW_TEX_DIRTY
+    assert int(n_dirty) > 16        # the pixel cap was genuinely exceeded
+
+
 def test_dirty_cap_overflow_flag():
     atlas = _toy_atlas(seed=4)
     dev = expand_atlas_bilinear(atlas)
@@ -174,7 +251,7 @@ def test_planner_single_combo_tile_uses_one_slot():
     v_t = texsample._tileize(jnp.asarray(v), H, W)
     lvl_t = texsample._tileize(jnp.ones((H, W), jnp.int32), H, W)
     live_t = texsample._tileize(jnp.ones((H, W), bool), H, W)
-    perpx, dma, n_used, dirty = texsample._plan_tiles_impl(
+    perpx, dma, n_used, dirty, _ = texsample._plan_tiles_impl(
         mid_t, u_t, v_t, lvl_t, live_t, page.row0, page.col0,
         size=atlas.size, n_levels=atlas.n_levels,
         num_materials=atlas.num_materials)
@@ -189,7 +266,7 @@ def test_planner_single_combo_tile_uses_one_slot():
     u0_t = texsample._tileize(jnp.asarray((xx + 0.5) / 64.0), H, W)
     v0_t = texsample._tileize(jnp.asarray((yy + 0.5) / 64.0), H, W)
     lvl0_t = texsample._tileize(jnp.zeros((H, W), jnp.int32), H, W)
-    _, _, n_used0, dirty0 = texsample._plan_tiles_impl(
+    _, _, n_used0, dirty0, _ = texsample._plan_tiles_impl(
         mid_t, u0_t, v0_t, lvl0_t, live_t, page.row0, page.col0,
         size=atlas.size, n_levels=atlas.n_levels,
         num_materials=atlas.num_materials)

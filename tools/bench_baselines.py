@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--tex-geom", default="",
                     help="k_top,nblk,tps tile-sampler geometry A/B "
                          "(e.g. 8,8,8) — FramePlan.tex_k_top/nblk/tps")
+    ap.add_argument("--tex-px-fallback", action="store_true",
+                    help="per-PIXEL dirty fallback compaction A/B "
+                         "(FramePlan.tex_px_fallback, VERDICT r4 item "
+                         "1b) — fallback cost tracks actual uncovered "
+                         "pixels instead of the cap*256 tile tax")
     ap.add_argument("--cloud-impl", default="",
                     help="override RenderConfig.cloud_impl (lut/"
                          "perpixel A/B — prices the LUT deviation, "
@@ -91,6 +96,8 @@ def main():
             kt, nb, tp = (int(s) for s in args.tex_geom.split(","))
             plan = dataclasses.replace(plan, tex_k_top=kt, tex_nblk=nb,
                                        tex_tps=tp)
+        if args.tex_px_fallback:
+            plan = dataclasses.replace(plan, tex_px_fallback=True)
         if args.cloud_impl:
             plan = dataclasses.replace(
                 plan, config=plan.config.replace(
@@ -132,9 +139,10 @@ def main():
         tris = built.batch.num_triangles
         mpix = cfg.width * cfg.height / 1e6
         dirts = np.asarray(dirts)
+        cap_s = ("px cap auto" if plan.tex_px_fallback
+                 else f"cap {plan.tex_dirty_cap}")
         dirty_s = ("n/a (xla tex path)" if dirts.max() < 0 else
-                   f"{dirts.min()}..{dirts.max()} "
-                   f"(cap {plan.tex_dirty_cap})")
+                   f"{dirts.min()}..{dirts.max()} ({cap_s})")
         ssra = np.asarray(ssra)
         if ssra.max() >= 0:
             dirty_s += (f", ssr active {ssra.min()}..{ssra.max()} "

@@ -221,7 +221,7 @@ def main():
                    plan.atlas_n_levels - 1)
     NT = mid_t.shape[0]
 
-    perpx, dma, n_used, dirty = jax.jit(functools.partial(
+    perpx, dma, n_used, dirty, _ = jax.jit(functools.partial(
         ts._plan_tiles_impl, size=plan.atlas_size,
         n_levels=plan.atlas_n_levels,
         num_materials=plan.atlas_num_materials))(

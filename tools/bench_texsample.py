@@ -98,7 +98,7 @@ def main():
             size=plan.atlas_size, n_levels=plan.atlas_n_levels,
             num_materials=plan.atlas_num_materials)
 
-    perpx, dma, n_used, dirty = jax.jit(plan_fn)(
+    perpx, dma, n_used, dirty, _ = jax.jit(plan_fn)(
         u_t, mid_t, v_t, lvl, live_t)
     print(f"NT={NT} dirty={int(dirty.sum())} "
           f"avg_slots={float(n_used.mean()):.2f}", flush=True)

@@ -58,7 +58,7 @@ def main():
           f"M={plan.atlas_num_materials}, L={plan.atlas_n_levels}")
 
     for k_top in (4, 5, 6, 8):
-        _, _, n_used, dirty = jax.jit(
+        _, _, n_used, dirty, _ = jax.jit(
             lambda m, u, v, l, lv, kt=k_top: ts._plan_tiles_impl(
                 m, u, v, l, lv, page.row0, page.col0,
                 size=plan.atlas_size, n_levels=plan.atlas_n_levels,

@@ -297,11 +297,17 @@ def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
     with two aligned vector adds (_load_chunk):
       group 0 rows 0-14: value hi;        row 15: id_d0 * 65536
       group 1 rows 0-14: value lo;        row 15: id_d1 * 256
-      group 2 rows 0-14: zero;            row 15: id_d2
-    so f32(g0) + f32(g1) + f32(g2) = [15 exact hi+lo values | exact
-    float id] — each pre-scaled base-256 digit is an 8-bit integer
-    times a power of two, exact in bf16; the sum is < 2^24, exact in
-    f32 (BinGrid.rec_dtype docstring has the cost rationale)."""
+      group 2 rows 0-14: value lo2;       row 15: id_d2
+    so f32(g0) + f32(g1) + f32(g2) = [15 ~f32-exact three-term values
+    | exact float id] — each pre-scaled base-256 digit is an 8-bit
+    integer times a power of two, exact in bf16; the sum is < 2^24,
+    exact in f32 (BinGrid.rec_dtype docstring has the cost rationale).
+    lo2 is the second-order residual v - hi - lo: group 2's value rows
+    were zero until round 5 (the chip A/B `out/r5/bf16diag.log`
+    measured 3-5% tri_id flips from ~16-bit mantissas, early-out
+    on/off identical) — filling the already-gathered, already-summed
+    rows with lo2 restores ~24 mantissa bits at zero extra gather or
+    kernel cost."""
     T = setup.adj.shape[1]
     vals = jnp.concatenate([setup.adj, setup.zs, setup.ws], axis=0)
     if dtype == "bf16":
@@ -312,11 +318,12 @@ def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
         d2 = (ids & 255).astype(jnp.float32)
         hi = vals.astype(jnp.bfloat16)
         lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        z15 = jnp.zeros((15, T), jnp.bfloat16)
+        lo2 = (vals - hi.astype(jnp.float32)
+               - lo.astype(jnp.float32)).astype(jnp.bfloat16)
         rec = jnp.concatenate(
             [hi, d0[None].astype(jnp.bfloat16),
              lo, d1[None].astype(jnp.bfloat16),
-             z15, d2[None].astype(jnp.bfloat16)], axis=0)
+             lo2, d2[None].astype(jnp.bfloat16)], axis=0)
         sentinel = jnp.zeros((REC_ROWS_BF16, 1), jnp.bfloat16)
         return jnp.concatenate([rec, sentinel], axis=1)
     ids = jnp.arange(T, dtype=jnp.float32)[None, :]

@@ -83,8 +83,12 @@ def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
         jnp.zeros((2, T), jnp.float32),
     ], axis=0)
     rec = jnp.concatenate([rec, jnp.zeros((40, 1), jnp.float32)], axis=1)
-    hi = rec.astype(jnp.bfloat16)
-    lo = (rec - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # reduce_precision, not f32(bf16(rec)): XLA's allow_excess_precision
+    # folding (default-on on TPU) cancels the convert pair and zeroes
+    # the residual — see raster2._build_pair_records for the chip A/B.
+    hi_f = jax.lax.reduce_precision(rec, 8, 7)
+    hi = hi_f.astype(jnp.bfloat16)
+    lo = jax.lax.reduce_precision(rec - hi_f, 8, 7).astype(jnp.bfloat16)
     return jnp.concatenate([hi, lo], axis=0)
 
 

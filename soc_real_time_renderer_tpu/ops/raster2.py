@@ -316,10 +316,23 @@ def build_records(setup: PlanarSetup, dtype: str = "f32") -> jax.Array:
         d0 = (((ids >> 16) & 255) << 16).astype(jnp.float32)
         d1 = (((ids >> 8) & 255) << 8).astype(jnp.float32)
         d2 = (ids & 255).astype(jnp.float32)
-        hi = vals.astype(jnp.bfloat16)
-        lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        lo2 = (vals - hi.astype(jnp.float32)
-               - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+        # The residuals MUST be computed against lax.reduce_precision
+        # (bf16-round while staying f32), NOT against
+        # f32(bf16(vals)): XLA's allow_excess_precision pass (on by
+        # default on TPU) folds the f32->bf16->f32 convert pair to
+        # identity, turning `vals - f32(bf16(vals))` into exact 0 —
+        # the chip A/B (out/r5/bf16diag.log, flip rate bit-identical
+        # with lo2 on/off) proved the lo/lo2 rows were all zeros on
+        # TPU while CPU kept them.  reduce_precision is opaque to
+        # that folding; the bf16 casts of the rounded values are then
+        # value-exact.
+        hi_f = jax.lax.reduce_precision(vals, 8, 7)
+        r1 = vals - hi_f
+        lo_f = jax.lax.reduce_precision(r1, 8, 7)
+        lo2_f = jax.lax.reduce_precision(r1 - lo_f, 8, 7)
+        hi = hi_f.astype(jnp.bfloat16)
+        lo = lo_f.astype(jnp.bfloat16)
+        lo2 = lo2_f.astype(jnp.bfloat16)
         rec = jnp.concatenate(
             [hi, d0[None].astype(jnp.bfloat16),
              lo, d1[None].astype(jnp.bfloat16),

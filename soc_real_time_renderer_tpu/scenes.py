@@ -405,13 +405,20 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
                                 for v in np.asarray(mm_np).ravel())
                           if crop is not None else None))
     # Size the dirty-tile fallback cap from the screen tile count.
-    # Chip-measured dirty rates (out/r4/bl123b.log, bl45b.log):
-    # sponza 1280x736 = 538..551 of 3680 tiles (15%), full 1920x1088 =
-    # 871..963 of 8160 (11.8%) — the old fixed 768 OVERFLOWED at
-    # 1080p, leaving ~200 tiles (~50k px) with the kernel's n_used=0
-    # garbage.  15% of NT + margin, 128-aligned, floor 768.
+    # Round 4 measured 11.8-15% dirty and sized the cap at 15% of NT —
+    # but that rate was an artifact: the bf16 pair-record residual
+    # rows were folded to zero on TPU (PERF.md pathology 6), so 3-5%
+    # of tri_ids flipped and fed scattered uv/lod to the planner.
+    # With the exact bf16 stream (round 5), chip-measured dirty rates
+    # are 21..25 of 3680 tiles at 1280x736 and 15..46 of 8160 at
+    # 1920x1088 (out/r5/bl123.log, bl45.log) — <0.7%.  Cap at 5% of
+    # NT (7x the worst measured rate), 128-aligned, floor 256; the
+    # tile-mode fallback tax is proportional to the CAP (cap*256 px
+    # re-gathered every frame), so right-sizing it is a direct win.
+    # Over-cap still fires OVERFLOW_TEX_DIRTY loudly, and
+    # FramePlan.tex_px_fallback degrades per-pixel instead.
     nt = (config.height // 16) * (config.width // 16)
-    cap = max(768, -(-int(0.15 * nt) // 128) * 128)
+    cap = max(256, -(-int(0.05 * nt) // 128) * 128)
     plan = _dc.replace(plan, tex_dirty_cap=cap)
     if config.enable_ssr:
         # SSR march compaction (ops/ssr.py): cap at 15% of the screen —

@@ -37,7 +37,7 @@ step() { # name timeout_s cmd...
 }
 
 all_done() {
-    for n in bl3px bl5px geom3a geom3b geom3c bl3tri; do
+    for n in bl3px bl5px geom3a geom3b geom3c geom3d geom3e bl3tri; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -63,6 +63,14 @@ while ! all_done; do
         --only 3 --tex-geom 6,8,8 || continue
     step geom3c 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --tex-geom 8,8,8 || continue
+    # dirty is now <0.7% (exact bf16 stream) and the fallback tax is
+    # cap-proportional — SMALLER planner geometry may win outright:
+    # fewer candidates/slots cut planner+DMA cost, extra dirty pixels
+    # ride the right-sized fallback.
+    step geom3d 1800 python tools/bench_baselines.py --frames 16 \
+        --only 3 --tex-geom 4,6,8 || continue
+    step geom3e 1800 python tools/bench_baselines.py --frames 16 \
+        --only 3 --tex-geom 6,4,8 || continue
     # trilinear re-price at current defaults
     step bl3tri 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --filter trilinear || continue

@@ -421,12 +421,15 @@ def _finish(scene, models, config, camera_pos, camera_target, animate=False,
     cap = max(256, -(-int(0.05 * nt) // 128) * 128)
     plan = _dc.replace(plan, tex_dirty_cap=cap)
     if config.enable_ssr:
-        # SSR march compaction (ops/ssr.py): cap at 15% of the screen —
-        # generous for the shipped scenes (sponza's materials are
-        # almost entirely dielectric, so reflective coverage is far
-        # lower); FrameOutputs.ssr_active + OVERFLOW_SSR_CAP size/guard
-        # it from data like tex_dirty_cap.
-        scap = -(-int(0.15 * config.width * config.height) // 1024) * 1024
+        # SSR march compaction (ops/ssr.py): the march runs on
+        # (cap,)-shaped arrays, so its cost is CAP-proportional.
+        # Chip-measured reflective coverage (out/r5/bl67.log, config
+        # 7): ssr_active 17884..18181 of 940k px (~1.9%) — sponza's
+        # materials are almost entirely dielectric.  Cap at 5% of the
+        # screen (2.6x the measured max); OVERFLOW_SSR_CAP +
+        # FrameOutputs.ssr_active guard/size it from data like
+        # tex_dirty_cap.
+        scap = -(-int(0.05 * config.width * config.height) // 1024) * 1024
         plan = _dc.replace(plan, ssr_cap=scap)
     # one-time HBM residency for geometry + atlas (SURVEY §2.6 P4: the
     # staging-upload analog; per-frame re-upload of the packed atlas

@@ -28,6 +28,12 @@ def main():
                          "(FramePlan.tex_px_fallback, VERDICT r4 item "
                          "1b) — fallback cost tracks actual uncovered "
                          "pixels instead of the cap*256 tile tax")
+    ap.add_argument("--tex-impl", default="",
+                    help="override FramePlan.texture_impl (xla/pallas) "
+                         "— e.g. tile-sampler A/B on the helmet "
+                         "configs whose auto choice picked xla "
+                         "(VERDICT r4 item 7); forces the atlas page "
+                         "build when pallas is requested")
     ap.add_argument("--cloud-impl", default="",
                     help="override RenderConfig.cloud_impl (lut/"
                          "perpixel A/B — prices the LUT deviation, "
@@ -88,8 +94,13 @@ def main():
         if only and num not in only:
             continue
         cfg = RenderConfig(**kw)
-        built = scenes.build(scene, cfg)
+        build_kw = {}
+        if args.tex_impl == "pallas":
+            build_kw["build_page"] = True
+        built = scenes.build(scene, cfg, **build_kw)
         plan = built.plan
+        if args.tex_impl:
+            plan = dataclasses.replace(plan, texture_impl=args.tex_impl)
         if args.filter:
             plan = dataclasses.replace(plan, texture_filter=args.filter)
         if args.tex_geom:

@@ -1,6 +1,10 @@
 #!/bin/bash
-# Round-5 phase-2 chip workload: texture-wall A/Bs that decide the
-# round's shipping defaults (VERDICT r4 item 1).
+# Round-5 phase-2 chip workload: the A/Bs that decide the round's
+# shipping defaults (VERDICT r4 items 1, 5, 7).
+#  - config-7 re-measure at the right-sized 5% SSR compaction cap
+#  - config-2 tile-sampler A/B (attr2 says the record+tex chain is the
+#    top config-2 item; the auto xla choice was priced in round 3
+#    against the OLD sampler)
 #  - px-fallback vs tile-discard dirty handling at configs 3 and 5
 #  - planner geometry sweep (k_top / nblk) at config 3
 #  - trilinear re-price after the bf16-record + fallback work (the
@@ -37,7 +41,8 @@ step() { # name timeout_s cmd...
 }
 
 all_done() {
-    for n in bl3px bl5px geom3a geom3b geom3c geom3d geom3e bl3tri; do
+    for n in bl7b bl2tile bl3px bl5px geom3a geom3b geom3c geom3d geom3e \
+             bl3tri; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -50,27 +55,31 @@ while ! all_done; do
         continue
     fi
     echo "tunnel UP $(date +%T)" | tee -a "$LOG/session.log"
+    # config-7 at the 5% SSR cap (item 5 gate <= 90 ms)
+    step bl7b 1800 python tools/bench_baselines.py --frames 16 \
+        --only 7 || continue
+    # config-2 tile sampler A/B (item 7)
+    step bl2tile 1800 python tools/bench_baselines.py --frames 16 \
+        --only 2 --tex-impl pallas || continue
     # px-fallback A/B (compare vs bl123/bl45 tile-mode rows)
     step bl3px 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --tex-px-fallback || continue
     step bl5px 2400 python tools/bench_baselines.py --frames 16 \
         --only 5 --tex-px-fallback || continue
-    # planner geometry: deeper candidate list / more slots (dirty-rate
-    # levers; chip dirty 11.8-15% vs study ~0.4% — measure, don't model)
+    # planner geometry: dirty is now <0.7% (exact bf16 stream) and the
+    # fallback tax is cap-proportional — SMALLER planner geometry may
+    # win outright: fewer candidates/slots cut planner+DMA cost, extra
+    # dirty pixels ride the right-sized fallback.
+    step geom3d 1800 python tools/bench_baselines.py --frames 16 \
+        --only 3 --tex-geom 4,6,8 || continue
+    step geom3e 1800 python tools/bench_baselines.py --frames 16 \
+        --only 3 --tex-geom 6,4,8 || continue
     step geom3a 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --tex-geom 8,6,8 || continue
     step geom3b 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --tex-geom 6,8,8 || continue
     step geom3c 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --tex-geom 8,8,8 || continue
-    # dirty is now <0.7% (exact bf16 stream) and the fallback tax is
-    # cap-proportional — SMALLER planner geometry may win outright:
-    # fewer candidates/slots cut planner+DMA cost, extra dirty pixels
-    # ride the right-sized fallback.
-    step geom3d 1800 python tools/bench_baselines.py --frames 16 \
-        --only 3 --tex-geom 4,6,8 || continue
-    step geom3e 1800 python tools/bench_baselines.py --frames 16 \
-        --only 3 --tex-geom 6,4,8 || continue
     # trilinear re-price at current defaults
     step bl3tri 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --filter trilinear || continue

@@ -122,6 +122,12 @@ class FramePlan:
     # uncovered PIXELS.
     tex_px_fallback: bool = False
     tex_px_cap: int = 0
+    # Shading-record stream layout (gbuffer.build_shading_records):
+    # "hilo" = (80, T+1) bf16, "u32" = (40, T+1) int32 with the same
+    # bf16 bit patterns packed hi<<16|lo — identical reconstructed
+    # values, half the gathered elements (the per-pixel record gather
+    # is indexing-bound, not bytes-bound; VERDICT r4 item 2 A/B).
+    rec_pack: str = "hilo"
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every
     # render target to rows-split-over-`shard_axis` of `shard_mesh`, so
@@ -328,7 +334,8 @@ def raster_stage(plan: FramePlan, batch: SceneBatch, g: ShaderGlobals,
         overflow = overflow | svis.overflow
 
     records = gbuf_ops.build_shading_records(
-        setup, world, wnrm, batch.tri_uv, batch.static_rows)
+        setup, world, wnrm, batch.tri_uv, batch.static_rows,
+        pack=plan.rec_pack)
     return vis, records, shadow_map, overflow
 
 

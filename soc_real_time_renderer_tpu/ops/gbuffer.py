@@ -59,18 +59,28 @@ class GBuffer:
 
 
 def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
-                          tri_uv, static_rows):
-    """(80, T+1) bfloat16 hi/lo per-triangle shading records (one
-    gather per pixel).
+                          tri_uv, static_rows, pack: str = "hilo"):
+    """Per-triangle shading records (one gather per pixel).
 
     world_pos/world_nrm: (3 verts, 3 xyz, T); tri_uv: (3 verts, 2, T);
     static_rows: (5, T).  f32 rows [adj 9 | wpos 9 | wnrm 9 | uv 6 |
-    material_id, has_normal, has_mr, has_emissive, is_terrain | 2 pad]
-    are stored as bf16 hi (rows 0-39) + bf16 lo = x - f32(hi) (rows
-    40-79): the TPU gather of a bf16 table is ~6x cheaper than the
-    same gather in f32 (measured 25.3 -> 4.2 ms at 1080p, PERF.md
-    round 2), and hi + lo recovers ~16 mantissa bits — full precision
-    for interpolation weights/attributes at screen scale.
+    material_id, has_normal, has_mr, has_emissive, is_terrain | 2 pad].
+
+    pack="hilo": (80, T+1) bfloat16 — bf16 hi (rows 0-39) + bf16
+    lo = x - f32(hi) (rows 40-79): the TPU gather of a bf16 table is
+    ~6x cheaper than the same gather in f32 (measured 25.3 -> 4.2 ms
+    at 1080p, PERF.md round 2), and hi + lo recovers ~16 mantissa
+    bits — full precision for interpolation weights/attributes at
+    screen scale.
+
+    pack="u32": (40, T+1) int32 — the SAME hi/lo bf16 bit patterns
+    packed hi<<16 | lo per row.  Identical reconstructed values
+    (resolve bitcasts the halves back to f32 and adds), half the
+    gathered elements: the big-table gather is latency/indexing-bound,
+    not bytes-bound (config-5 record gather moves 334 MB/frame in
+    15.6 ms = 21 GB/s, nowhere near HBM bw), so element count is the
+    cost driver (VERDICT r4 item 2).
+
     Column T = sentinel.
     """
     T = setup.adj.shape[1]
@@ -89,6 +99,12 @@ def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
     hi_f = jax.lax.reduce_precision(rec, 8, 7)
     hi = hi_f.astype(jnp.bfloat16)
     lo = jax.lax.reduce_precision(rec - hi_f, 8, 7).astype(jnp.bfloat16)
+    if pack == "u32":
+        hi16 = jax.lax.bitcast_convert_type(hi, jnp.uint16)
+        lo16 = jax.lax.bitcast_convert_type(lo, jnp.uint16)
+        return jax.lax.bitcast_convert_type(
+            (hi16.astype(jnp.uint32) << 16) | lo16.astype(jnp.uint32),
+            jnp.int32)
     return jnp.concatenate([hi, lo], axis=0)
 
 
@@ -238,8 +254,19 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
         # (80, P) gather per consumer (the round-1 recompute pathology,
         # PERF.md)
         rhl = jax.lax.optimization_barrier(
-            shading_records[:, t])                    # (80, P) bf16 hi/lo
-        rec = rhl[:40].astype(jnp.float32) + rhl[40:].astype(jnp.float32)
+            shading_records[:, t])       # (80, P) bf16 hi/lo or (40, P) u32
+        if shading_records.dtype == jnp.int32:
+            # u32-packed stream: unpack the two bf16 halves back to f32
+            # (a bf16 bit pattern in the TOP 16 bits of an i32 IS the
+            # f32 of that bf16 value) — exact same values as the hilo
+            # layout, half the gathered elements
+            hi = jax.lax.bitcast_convert_type(
+                rhl & jnp.int32(-65536), jnp.float32)
+            lo = jax.lax.bitcast_convert_type(rhl << 16, jnp.float32)
+            rec = hi + lo
+        else:
+            rec = (rhl[:40].astype(jnp.float32)
+                   + rhl[40:].astype(jnp.float32))
 
         # edge values + derivatives (de/dx = adj col 0, de/dy = col 1)
         e = jnp.stack([rec[0] * px + rec[1] * py + rec[2],

@@ -85,7 +85,7 @@ class BuiltScene:
     # interpret mode, fallback caps)
     _PLAN_OVERRIDES = ("texture_filter", "texture_impl", "interpret",
                        "shard_mesh", "shard_axis", "tex_dirty_cap",
-                       "tex_px_fallback", "tex_px_cap")
+                       "tex_px_fallback", "tex_px_cap", "rec_pack")
 
     def rebuild(self) -> None:
         """Re-derive the render state from the LIVE scene (the analog

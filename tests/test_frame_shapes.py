@@ -87,3 +87,19 @@ def test_vis_barrier_identical_output():
                                batch, g, hist_b, mm, mm)
     np.testing.assert_array_equal(np.asarray(out_a.color),
                                   np.asarray(out_b.color))
+
+
+def test_rec_pack_u32_identical_output():
+    """The u32-packed record stream carries the SAME bf16 hi/lo bit
+    patterns as the hilo layout (gbuffer.build_shading_records pack=
+    "u32"), so the reconstructed f32 records — and every pixel — must
+    match.  Tolerance 1e-6, not exact: the unpack fuses differently
+    and XLA may FMA-contract downstream chains differently (same
+    reassociation caveat as ssr-compact-vs-dense)."""
+    plan, batch, g, hist, mm = _setup()
+    out_a, _ = fm.render_frame(plan, batch, g, hist, mm, mm)
+    hist_b = fm.RenderHistory.create(plan.config)
+    out_b, _ = fm.render_frame(dataclasses.replace(plan, rec_pack="u32"),
+                               batch, g, hist_b, mm, mm)
+    np.testing.assert_allclose(np.asarray(out_a.color),
+                               np.asarray(out_b.color), atol=1e-6)

@@ -34,6 +34,11 @@ def main():
                          "configs whose auto choice picked xla "
                          "(VERDICT r4 item 7); forces the atlas page "
                          "build when pallas is requested")
+    ap.add_argument("--rec-pack", default="",
+                    help="override FramePlan.rec_pack (hilo/u32) — "
+                         "shading-record stream layout A/B (VERDICT "
+                         "r4 item 2: record gather 15.6 ms at config "
+                         "5; u32 halves gathered elements)")
     ap.add_argument("--cloud-impl", default="",
                     help="override RenderConfig.cloud_impl (lut/"
                          "perpixel A/B — prices the LUT deviation, "
@@ -109,6 +114,8 @@ def main():
                                        tex_tps=tp)
         if args.tex_px_fallback:
             plan = dataclasses.replace(plan, tex_px_fallback=True)
+        if args.rec_pack:
+            plan = dataclasses.replace(plan, rec_pack=args.rec_pack)
         if args.cloud_impl:
             plan = dataclasses.replace(
                 plan, config=plan.config.replace(

@@ -41,8 +41,8 @@ step() { # name timeout_s cmd...
 }
 
 all_done() {
-    for n in bl7b bl2tile bl3px bl5px geom3a geom3b geom3c geom3d geom3e \
-             bl3tri; do
+    for n in bl7b bl3u32 bl2tile bl3px bl5px bl5u32 geom3a geom3b geom3c \
+             geom3d geom3e bl3tri; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -58,6 +58,10 @@ while ! all_done; do
     # config-7 at the 5% SSR cap (item 5 gate <= 90 ms)
     step bl7b 1800 python tools/bench_baselines.py --frames 16 \
         --only 7 || continue
+    # u32-packed shading-record stream A/B (item 2: records 15.6 ms at
+    # config 5; same bf16 bits, half the gathered elements)
+    step bl3u32 1800 python tools/bench_baselines.py --frames 16 \
+        --only 3 --rec-pack u32 || continue
     # config-2 tile sampler A/B (item 7)
     step bl2tile 1800 python tools/bench_baselines.py --frames 16 \
         --only 2 --tex-impl pallas || continue
@@ -66,6 +70,8 @@ while ! all_done; do
         --only 3 --tex-px-fallback || continue
     step bl5px 2400 python tools/bench_baselines.py --frames 16 \
         --only 5 --tex-px-fallback || continue
+    step bl5u32 2400 python tools/bench_baselines.py --frames 16 \
+        --only 5 --rec-pack u32 || continue
     # planner geometry: dirty is now <0.7% (exact bf16 stream) and the
     # fallback tax is cap-proportional — SMALLER planner geometry may
     # win outright: fewer candidates/slots cut planner+DMA cost, extra

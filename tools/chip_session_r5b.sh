@@ -42,7 +42,7 @@ step() { # name timeout_s cmd...
 
 all_done() {
     for n in bl7b bl3u32 bl2tile bl3px bl5px bl5u32 geom3a geom3b geom3c \
-             geom3d geom3e bl3tri; do
+             geom3d geom3e bl3tri clouds_iso; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -89,5 +89,10 @@ while ! all_done; do
     # trilinear re-price at current defaults
     step bl3tri 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --filter trilinear || continue
+    # LAST (crash containment): the per-pixel clouds price tag,
+    # ISOLATED — the in-frame config-5 perpixel run kernel-faults the
+    # worker (out/r5/clouds5.log); if the isolated march also faults,
+    # nothing else in the queue is blocked behind it.
+    step clouds_iso 2400 python tools/bench_clouds.py || continue
 done
 echo "chip r5b session COMPLETE $(date +%T)" | tee -a "$LOG/session.log"

@@ -40,9 +40,22 @@ step() { # name timeout_s cmd...
     return $rc
 }
 
+step_once() { # name timeout_s cmd... — one attempt, failure IS a result
+    local name=$1 t=$2; shift 2
+    [ -f "$LOG/$name.ok" ] && return 0
+    echo "=== $name start $(date +%T) (single-attempt) ===" \
+        | tee -a "$LOG/session.log"
+    timeout "$t" "$@" >"$LOG/$name.log" 2>&1
+    local rc=$?
+    touch "$LOG/$name.ok"
+    echo "=== $name rc=$rc $(date +%T) (recorded; no retry) ===" \
+        | tee -a "$LOG/session.log"
+    return 0
+}
+
 all_done() {
     for n in bl7b bl3u32 bl2tile bl3px bl5px bl5u32 geom3a geom3b geom3c \
-             geom3d geom3e bl3tri clouds_iso; do
+             geom3d geom3e bl3tri complat3 clouds_iso; do
         [ -f "$LOG/$n.ok" ] || return 1
     done
     return 0
@@ -89,10 +102,15 @@ while ! all_done; do
     # trilinear re-price at current defaults
     step bl3tri 1800 python tools/bench_baselines.py --frames 16 \
         --only 3 --filter trilinear || continue
+    # third compile-latency experiment (VERDICT r4 item 9): drop the
+    # backend optimization level — the compile column is the result;
+    # single-attempt: a rejected option name is itself the negative
+    # result, and must not crash-loop the queue
+    step_once complat3 2400 python tools/bench_baselines.py --frames 8 \
+        --only 5 --compiler-opt xla_backend_optimization_level=1
     # LAST (crash containment): the per-pixel clouds price tag,
     # ISOLATED — the in-frame config-5 perpixel run kernel-faults the
-    # worker (out/r5/clouds5.log); if the isolated march also faults,
-    # nothing else in the queue is blocked behind it.
-    step clouds_iso 2400 python tools/bench_clouds.py || continue
+    # worker (out/r5/clouds5.log); single-attempt for the same reason.
+    step_once clouds_iso 2400 python tools/bench_clouds.py
 done
 echo "chip r5b session COMPLETE $(date +%T)" | tee -a "$LOG/session.log"

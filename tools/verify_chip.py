@@ -234,6 +234,23 @@ def main():
     check("texsample-pallas-vs-xla", xerr < 0.002 and xmax < 0.06,
           f"albedo mean err {xerr:.5f} max {xmax:.4f}")
 
+    # 5b. u32-packed record stream vs hilo ON CHIP — the CPU test
+    # (tests/test_frame_shapes.py) proves the logic; this guards the
+    # TPU compiler's bitcast/convert folding (the excess-precision
+    # pathology zeroed bf16 residuals on chip once already, PERF.md)
+    rec_u32 = gbuf_ops.build_shading_records(
+        setup2, world, wnrm, built.batch.tri_uv, built.batch.static_rows,
+        pack="u32")
+    gb_u, _, _ = gbuf_ops.resolve_gbuffer(
+        vis2, rec_u32, built.batch.atlas_packed,
+        g.camera_prev.projection_view, atlas_size=plan.atlas_size,
+        layer_stride=plan.atlas_layer_stride,
+        n_levels=plan.atlas_n_levels, filter_mode=plan.texture_filter)
+    uerr = float(jnp.abs(gb_u.albedo - gb_x.albedo).max())
+    unrm = float(jnp.abs(gb_u.normal - gb_x.normal).max())
+    check("records-u32-vs-hilo", uerr <= 1e-5 and unrm <= 1e-5,
+          f"albedo max {uerr:.2e} normal max {unrm:.2e}")
+
     # 7. SSR compacted march vs dense (ops/ssr.py): identical pixels
     # when the cap holds (the helmet IS metallic, so the march runs)
     from soc_real_time_renderer_tpu.ops import ssr as ssr_ops

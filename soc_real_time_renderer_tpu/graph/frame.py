@@ -127,6 +127,9 @@ class FramePlan:
     # bf16 bit patterns packed hi<<16|lo — identical reconstructed
     # values, half the gathered elements (the per-pixel record gather
     # is indexing-bound, not bytes-bound; VERDICT r4 item 2 A/B).
+    # "f32" = (40, T+1) float32 raw rows — for the small-table configs
+    # (16k tris = 2.6 MB, cache-resident) where the hi/lo split only
+    # doubles elements + adds rebuild math (config-2 A/B, r5).
     rec_pack: str = "hilo"
     interpret: bool | None = None   # Pallas interpret override (tests)
     # Multi-chip (SURVEY §2.6 P6): when set, shade_stage pins every

@@ -81,6 +81,15 @@ def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
     15.6 ms = 21 GB/s, nowhere near HBM bw), so element count is the
     cost driver (VERDICT r4 item 2).
 
+    pack="f32": (40, T+1) float32 — the raw rows, no precision split
+    and no reconstruction math in the resolve.  The bf16 economics
+    (PERF.md round 2) were measured on 345k-triangle tables; at the
+    16k-triangle configs (1/2/6) the whole f32 table is 2.6 MB
+    (cache-resident), so the gather can't be table-bandwidth-bound
+    and the hi/lo split only doubles gathered elements + adds the
+    rebuild adds (config-2 stub_records = 12.58 ms, `out/r5/attr2.log`
+    — the top config-2 stage, VERDICT r4 item 7).
+
     Column T = sentinel.
     """
     T = setup.adj.shape[1]
@@ -93,6 +102,8 @@ def build_shading_records(setup: PlanarSetup, world_pos, world_nrm,
         jnp.zeros((2, T), jnp.float32),
     ], axis=0)
     rec = jnp.concatenate([rec, jnp.zeros((40, 1), jnp.float32)], axis=1)
+    if pack == "f32":
+        return rec
     # reduce_precision, not f32(bf16(rec)): XLA's allow_excess_precision
     # folding (default-on on TPU) cancels the convert pair and zeroes
     # the residual — see raster2._build_pair_records for the chip A/B.
@@ -254,7 +265,7 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
         # (80, P) gather per consumer (the round-1 recompute pathology,
         # PERF.md)
         rhl = jax.lax.optimization_barrier(
-            shading_records[:, t])       # (80, P) bf16 hi/lo or (40, P) u32
+            shading_records[:, t])  # (80,P) bf16 hi/lo | (40,P) u32 | f32
         if shading_records.dtype == jnp.int32:
             # u32-packed stream: unpack the two bf16 halves back to f32
             # (a bf16 bit pattern in the TOP 16 bits of an i32 IS the
@@ -264,6 +275,8 @@ def resolve_gbuffer(vis: VisibilityBuffer, shading_records, atlas,
                 rhl & jnp.int32(-65536), jnp.float32)
             lo = jax.lax.bitcast_convert_type(rhl << 16, jnp.float32)
             rec = hi + lo
+        elif shading_records.dtype == jnp.float32:
+            rec = rhl                       # pack="f32": rows as-is
         else:
             rec = (rhl[:40].astype(jnp.float32)
                    + rhl[40:].astype(jnp.float32))

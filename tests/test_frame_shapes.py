@@ -103,3 +103,21 @@ def test_rec_pack_u32_identical_output():
                                batch, g, hist_b, mm, mm)
     np.testing.assert_allclose(np.asarray(out_a.color),
                                np.asarray(out_b.color), atol=1e-6)
+
+
+def test_rec_pack_f32_close_output():
+    """pack="f32" skips the bf16 hi/lo split entirely — the records
+    carry ~8 extra mantissa bits beyond what hi+lo reconstructs, so
+    output is CLOSE to the hilo default (which is itself pinned
+    against the oracle by the golden tests), not bit-equal.  The
+    hi/lo residual recovers ~16 mantissa bits, so any divergence is
+    at interpolation noise level."""
+    plan, batch, g, hist, mm = _setup()
+    out_a, _ = fm.render_frame(plan, batch, g, hist, mm, mm)
+    hist_b = fm.RenderHistory.create(plan.config)
+    out_b, _ = fm.render_frame(dataclasses.replace(plan, rec_pack="f32"),
+                               batch, g, hist_b, mm, mm)
+    a = np.asarray(out_a.color, np.float32)
+    b = np.asarray(out_b.color, np.float32)
+    assert float(np.abs(a - b).mean()) < 2e-3
+    assert float(np.abs(a - b).max()) < 0.1

@@ -35,7 +35,7 @@ def main():
                          "(VERDICT r4 item 7); forces the atlas page "
                          "build when pallas is requested")
     ap.add_argument("--rec-pack", default="",
-                    help="override FramePlan.rec_pack (hilo/u32) — "
+                    help="override FramePlan.rec_pack (hilo/u32/f32) — "
                          "shading-record stream layout A/B (VERDICT "
                          "r4 item 2: record gather 15.6 ms at config "
                          "5; u32 halves gathered elements)")
